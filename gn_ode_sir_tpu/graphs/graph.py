@@ -1,0 +1,117 @@
+"""Immutable static-shape graph container.
+
+The reference keeps graphs as scipy CSR matrices and rebuilds a block-diagonal
+COO on the host inside every ODE function evaluation
+(``ode_nn_ngraph_sim.py:68-73``). Here a graph is preprocessed ONCE into
+sorted COO arrays (plus an optional dense adjacency for the MXU matmul path)
+and never touched again on the host during training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """A static undirected graph stored as a directed COO edge list.
+
+    Attributes:
+      n_nodes: number of nodes (ids are 0..n_nodes-1).
+      src, dst: int32 arrays of length ``n_edges`` (directed; an undirected
+        edge contributes both (u,v) and (v,u), mirroring the doubled edge
+        list the reference builds at ``ode_nn.py:32-38``). Edges are sorted
+        by ``dst`` so that segment-sum aggregation over destinations sees
+        monotonically increasing segment ids.
+      name: dataset stem (e.g. "karate"), used for label-cache keys.
+    """
+
+    n_nodes: int
+    src: np.ndarray
+    dst: np.ndarray
+    name: str = "graph"
+
+    def __post_init__(self):
+        object.__setattr__(self, "src", np.asarray(self.src, dtype=np.int32))
+        object.__setattr__(self, "dst", np.asarray(self.dst, dtype=np.int32))
+        if self.src.shape != self.dst.shape or self.src.ndim != 1:
+            raise ValueError("src/dst must be 1-D arrays of equal length")
+
+    @property
+    def n_edges(self) -> int:
+        """Number of *directed* edges (2x the undirected edge count)."""
+        return int(self.src.shape[0])
+
+    @cached_property
+    def degrees(self) -> np.ndarray:
+        """In-degree per node (== out-degree for undirected graphs)."""
+        return np.bincount(self.dst, minlength=self.n_nodes).astype(np.int32)
+
+    @cached_property
+    def dense_adjacency(self) -> np.ndarray:
+        """Dense float32 {0,1} adjacency — the MXU SpMM path for small/mid graphs."""
+        a = np.zeros((self.n_nodes, self.n_nodes), dtype=np.float32)
+        a[self.dst, self.src] = 1.0
+        return a
+
+    def padded_edges(self, e_max: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Edge arrays padded to a static length ``e_max``.
+
+        Padding edges point at the valid node 0 but carry weight 0, so they
+        contribute nothing to any weighted aggregation while keeping every
+        shape static for XLA.
+
+        Returns (src, dst, weight) with shape [e_max] each.
+        """
+        e = self.n_edges
+        if e_max < e:
+            raise ValueError(f"e_max={e_max} < n_edges={e}")
+        src = np.zeros(e_max, dtype=np.int32)
+        dst = np.zeros(e_max, dtype=np.int32)
+        w = np.zeros(e_max, dtype=np.float32)
+        src[:e], dst[:e], w[:e] = self.src, self.dst, 1.0
+        return src, dst, w
+
+
+def graph_from_edges(n_nodes: int, undirected_edges, name: str = "graph") -> Graph:
+    """Build a :class:`Graph` from an iterable of undirected (u, v) pairs.
+
+    Self-loops are kept as a single directed edge; duplicate undirected edges
+    are deduplicated (networkx Graph semantics).
+    """
+    seen = set()
+    for u, v in undirected_edges:
+        u, v = int(u), int(v)
+        seen.add((u, v) if u <= v else (v, u))
+    src, dst = [], []
+    for u, v in seen:
+        src.append(u)
+        dst.append(v)
+        if u != v:
+            src.append(v)
+            dst.append(u)
+    src = np.asarray(src, dtype=np.int32)
+    dst = np.asarray(dst, dtype=np.int32)
+    order = np.lexsort((src, dst))  # sort by dst, then src
+    return Graph(n_nodes=n_nodes, src=src[order], dst=dst[order], name=name)
+
+
+def graph_from_networkx(G, name: str = "graph") -> Graph:
+    """Convert a networkx graph, relabelling nodes to 0..n-1.
+
+    Node ids follow the iteration order of ``G.nodes()`` — the same order
+    ``nx.adjacency_matrix`` uses in the reference (``ode_nn.py:413``), so
+    matrix/seed indices agree with the reference's.
+
+    Deviation note: the reference indexes state arrays by *raw node labels*
+    inside ``sir_torch`` (``ode_nn.py:33-38``), which only works when labels
+    happen to be contiguous 0..n-1 (true for the shipped pickles). We always
+    relabel, which fixes that latent bug for arbitrary graphs.
+    """
+    nodes = list(G.nodes())
+    index = {u: i for i, u in enumerate(nodes)}
+    edges = ((index[u], index[v]) for u, v in G.edges())
+    return graph_from_edges(len(nodes), edges, name=name)

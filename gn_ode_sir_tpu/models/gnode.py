@@ -1,0 +1,157 @@
+"""GN-ODE: continuous-time Graph-Network ODE for SIR dynamics (flagship).
+
+TPU-native re-design of the reference's primary model family:
+
+- C7, batched-trials single-graph (``ode_nn_ngraph_sim.py:37-188``):
+  ``activation='sigmoid'``, ``method='euler'`` — the paper configuration.
+- C8, multi-graph (``ode_nn_ngraphs.py:37-152``): identical math; here the
+  per-sample adjacency is a padded :class:`~gn_ode_sir_tpu.ops.adjacency.CooAdj`
+  instead of a host-rebuilt block-diagonal.
+- C6, legacy dense single-trial (``ode_nn.py:263-362``):
+  ``activation='relu'``, ``deriv_layernorm=True``, ``encode_r=False``,
+  ``method='rk4'``.
+
+Key deviations from the reference (deliberate, documented):
+- beta/gamma are carried as per-trial side inputs, NOT smuggled into the
+  state vector's last quarter (reference ``ode_nn_ngraph_sim.py:60,96``),
+  so the ODE state is exactly (S, I, R) hidden embeddings.
+- The batch of trials on a shared graph is a vmapped batch axis, not a
+  block-diagonal adjacency rebuilt per function evaluation
+  (``ode_nn_ngraph_sim.py:68-70``).
+
+Forward math (faithful to the reference at its defaults):
+  encode:  E_c = relu(W_enc c0 + b_enc),  c in {S, I, R}   (shared weights,
+           ``ode_nn_ngraph_sim.py:151-156``)
+  dy/dt:   Z_c = act(W_f E_c + b_f)                         (:62-63)
+           AI  = A @ Z_I                                    (:73)
+           dS  = -beta * AI .* Z_S                          (:75)
+           dI  = -dS - gamma * Z_I                          (:76)
+           dR  = gamma * Z_I                                (:77)
+  decode:  p_c = W_d2 relu(W_d1 y_c + b_d1) + b_d2          (:172-182)
+           (S, I, R) = softmax over the three channels      (:184-186)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gn_ode_sir_tpu.models.common import layer_norm, linear, linear_init
+from gn_ode_sir_tpu.odeint import odeint_grid, resample_integer_times
+
+
+def gnode_ode_func(t, y, args, *, activation: str, deriv_layernorm: bool):
+    """The GN-ODE vector field. y = (S, I, R) embeddings, each [B, n, h]."""
+    params, beta, gamma, adj = args
+    z = jnp.stack(y)  # [3, B, n, h]
+    z = linear(params["func"], z)
+    z = jax.nn.sigmoid(z) if activation == "sigmoid" else jax.nn.relu(z)
+    zs, zi, zr = z[0], z[1], z[2]
+    del zr  # recovered-channel embedding does not enter the derivative
+    ai = adj.matvec(zi)
+    b = beta[:, None, None]
+    g = gamma[:, None, None]
+    ds = -b * ai * zs
+    di = -ds - g * zi
+    dr = g * zi
+    if deriv_layernorm:  # legacy dense variant, ode_nn.py:291-293
+        ln = lambda u: layer_norm(params["ln_scale"], params["ln_bias"], u)
+        ds, di, dr = ln(ds), ln(di), ln(dr)
+    return (ds, di, dr)
+
+
+# Cache the partial-ed vector fields so repeated model instances share one
+# hashable callable (and therefore one XLA compilation).
+_FUNC_CACHE: dict = {}
+
+
+def _get_func(activation: str, deriv_layernorm: bool):
+    key = (activation, deriv_layernorm)
+    if key not in _FUNC_CACHE:
+        _FUNC_CACHE[key] = partial(
+            gnode_ode_func, activation=activation, deriv_layernorm=deriv_layernorm
+        )
+    return _FUNC_CACHE[key]
+
+
+@dataclasses.dataclass(frozen=True)
+class GNODE:
+    """Config + init/apply for the GN-ODE model family."""
+
+    hidden: int = 64
+    max_time: int = 20
+    delta_t: float = 0.5
+    method: str = "euler"
+    adjoint: str = "checkpoint"
+    activation: str = "sigmoid"
+    deriv_layernorm: bool = False
+    encode_r: bool = True
+
+    @property
+    def ts(self) -> np.ndarray:
+        return np.arange(0.0, self.max_time, self.delta_t, dtype=np.float32)
+
+    def init(self, key):
+        k_enc, k_f, k_d1, k_d2 = jax.random.split(key, 4)
+        params = {
+            "enc": linear_init(k_enc, 1, self.hidden),
+            "func": linear_init(k_f, self.hidden, self.hidden),
+            "dec1": linear_init(k_d1, self.hidden, 4),
+            "dec2": linear_init(k_d2, 4, 1),
+        }
+        if self.deriv_layernorm:
+            params["ln_scale"] = jnp.ones((self.hidden,))
+            params["ln_bias"] = jnp.zeros((self.hidden,))
+        return params
+
+    def apply(self, params, adj, s0, i0, r0, beta, gamma):
+        """Full-grid forward.
+
+        Args:
+          adj: DenseAdj/CooAdj pytree.
+          s0, i0, r0: [B, n] initial per-node state indicators.
+          beta, gamma: [B] per-trial SIR rates.
+        Returns probabilities [T_grid, B, n, 3] (softmax over SIR).
+        """
+        enc = lambda c: jax.nn.relu(linear(params["enc"], c[..., None]))
+        s = enc(s0)
+        i = enc(i0)
+        r = enc(r0) if self.encode_r else jnp.zeros_like(s)
+
+        func = _get_func(self.activation, self.deriv_layernorm)
+        ts = jnp.asarray(self.ts)
+        traj = odeint_grid(
+            func,
+            (s, i, r),
+            ts,
+            (params, beta, gamma, adj),
+            method=self.method,
+            adjoint=self.adjoint,
+        )  # tuple of [T, B, n, h]
+
+        y = jnp.stack(traj, axis=-2)  # [T, B, n, 3, h]
+        u = jax.nn.relu(linear(params["dec1"], y))
+        v = linear(params["dec2"], u)[..., 0]  # [T, B, n, 3]
+        return jax.nn.softmax(v, axis=-1)
+
+    def predict(self, params, adj, s0, i0, r0, beta, gamma):
+        """Probabilities at integer label times: [max_time, B, n, 3]."""
+        probs = self.apply(params, adj, s0, i0, r0, beta, gamma)
+        return resample_integer_times(probs, self.max_time, self.delta_t)
+
+
+def legacy_dense_gnode(hidden: int = 32, max_time: int = 20, delta_t: float = 0.5) -> GNODE:
+    """The C6 single-trial dense variant (``ode_nn.py:263-362``)."""
+    return GNODE(
+        hidden=hidden,
+        max_time=max_time,
+        delta_t=delta_t,
+        method="rk4",
+        activation="relu",
+        deriv_layernorm=True,
+        encode_r=False,
+    )

@@ -1,0 +1,105 @@
+"""Adjacency pytrees — jit-transparent graph connectivity for model code.
+
+Models never see scipy matrices or host objects: connectivity enters jitted
+functions as one of these pytrees and message passing is ``adj.matvec(x)``
+with ``x`` of shape [B, n, h].
+
+- :class:`DenseAdj` — the MXU path (einsum with a materialized adjacency).
+- :class:`CooAdj`   — gather + sorted segment-sum; supports shared edges
+  ([E]) or per-sample padded edges ([B, E]) for heterogeneous multi-graph
+  batches (replacing the reference's per-f-eval ``scipy.sparse.block_diag``
+  at ``ode_nn_ngraphs.py:65-73``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gn_ode_sir_tpu.ops.segment import segment_sum
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DenseAdj:
+    """Dense adjacency [n, n] (shared) or [B, n, n] (per-sample)."""
+
+    a: jnp.ndarray
+
+    def matvec(self, x):
+        if self.a.ndim == 2:
+            return jnp.einsum("ij,bjh->bih", self.a, x, preferred_element_type=jnp.float32)
+        return jnp.einsum("bij,bjh->bih", self.a, x, preferred_element_type=jnp.float32)
+
+    def tree_flatten(self):
+        return (self.a,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class CooAdj:
+    """Sorted COO adjacency.
+
+    ``src``/``dst`` are [E] (shared across the batch) or [B, E] (per-sample,
+    padded; padding edges carry ``w == 0``). ``n_nodes`` is static.
+    """
+
+    src: jnp.ndarray
+    dst: jnp.ndarray
+    w: jnp.ndarray | None
+    n_nodes: int
+
+    def matvec(self, x):
+        n = self.n_nodes
+        if self.src.ndim == 1:
+            msgs = x[:, self.src, :]
+            if self.w is not None:
+                msgs = msgs * self.w[None, :, None]
+            return jax.vmap(lambda m: segment_sum(m, self.dst, n))(msgs)
+
+        def one(src, dst, w, xb):
+            msgs = xb[src]
+            if w is not None:
+                msgs = msgs * w[:, None]
+            return segment_sum(msgs, dst, n)
+
+        return jax.vmap(one)(self.src, self.dst, self.w, x)
+
+    def tree_flatten(self):
+        return (self.src, self.dst, self.w), self.n_nodes
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, n_nodes=aux)
+
+
+def adjacency_from_graph(graph, *, prefer_dense: bool | None = None):
+    """Build the right adjacency pytree for a host-side Graph."""
+    from gn_ode_sir_tpu.ops.spmm import DENSE_NODE_THRESHOLD
+
+    if prefer_dense is None:
+        prefer_dense = graph.n_nodes <= DENSE_NODE_THRESHOLD
+    if prefer_dense:
+        return DenseAdj(jnp.asarray(graph.dense_adjacency))
+    return CooAdj(
+        jnp.asarray(graph.src), jnp.asarray(graph.dst), None, graph.n_nodes
+    )
+
+
+def adjacency_from_batch(batch, graph_idx):
+    """Per-trial CooAdj rows for a padded multi-graph batch (gather only)."""
+    import numpy as np
+
+    gi = np.asarray(graph_idx)
+    return CooAdj(
+        jnp.asarray(batch.src[gi]),
+        jnp.asarray(batch.dst[gi]),
+        jnp.asarray(batch.edge_w[gi]),
+        batch.n_max,
+    )

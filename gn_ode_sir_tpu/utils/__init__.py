@@ -1,0 +1,16 @@
+"""Cross-cutting utilities: config, label cache, CSV metrics sink, timing."""
+
+from gn_ode_sir_tpu.utils.config import ExperimentConfig
+from gn_ode_sir_tpu.utils.labels import label_paths, load_labels, load_or_extract_labels
+from gn_ode_sir_tpu.utils.csvsink import csv_trials, save_trial_to_csv
+from gn_ode_sir_tpu.utils.timing import Timer
+
+__all__ = [
+    "ExperimentConfig",
+    "label_paths",
+    "load_labels",
+    "load_or_extract_labels",
+    "csv_trials",
+    "save_trial_to_csv",
+    "Timer",
+]

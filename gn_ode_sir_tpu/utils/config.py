@@ -1,0 +1,51 @@
+"""Single experiment configuration consumed by both the library API and CLI.
+
+Unifies the reference's two-level flag system: monitorer module constants
+(``monitorer-sim.py:8-24``) + per-worker argparse (``ode_nn_ngraph_sim.py:
+326-343``). CLI flag names are kept for familiarity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Sequence
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # model
+    model: str = "ode_nn"  # 'ode_nn' | 'GCN' | 'GIN' | 'dmp' | 'rk'
+    hidden: int = 64
+    # optimization (reference defaults: monitorer-sim.py:10)
+    lr: float = 1e-4
+    epochs: int = 500
+    batch_size: int = 1
+    # SIR dynamics / labels (monitorer-sim.py:13-17)
+    n_i: Sequence[int] = (2,)
+    trials_per_number: int = 200
+    beta: Sequence[float] = ()
+    gamma: Sequence[float] = ()
+    i_indices: Sequence[Sequence[int]] = ()
+    delta_t: float = 0.5
+    max_time: int = 20
+    sim: int = 10000
+    # data
+    dataset: str = "./real_graphs/karate"
+    path_to_save: str = "./experiments"
+    train_val_test_ratio: Sequence[float] = (0.6, 0.2, 0.2)
+    out_of_dist: bool = False
+    trial: int = 1
+    # solver
+    method: str = "euler"
+    adjoint: str = "checkpoint"
+    # runtime
+    seed: int = 0
+    mesh_shape: Sequence[int] = ()
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), default=list, indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExperimentConfig":
+        return cls(**json.loads(s))
