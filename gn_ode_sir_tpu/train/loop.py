@@ -1,0 +1,188 @@
+"""Training loop: epoch-level ``lax.scan``, best-val-triggers-test protocol.
+
+The reference trains with a Python DataLoader loop dispatching one tiny
+kernel chain per sample (batch_size=1 at the monitorer defaults,
+``monitorer-sim.py:10``) — on TPU that would be dispatch-bound. Here a whole
+epoch is ONE compiled program: a scan over precomputed batch-index rows,
+gathering each minibatch on device. The val pass is a second compiled scan;
+the test pass runs only when validation improves, reproducing the
+best-val-early-test protocol (``ode_nn_ngraph_sim.py:459-465``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gn_ode_sir_tpu.train.data import TrialData, epoch_batches
+from gn_ode_sir_tpu.train.loss import l1_sir_loss
+
+
+def _data_to_device(data: TrialData) -> dict:
+    return {
+        "s0": jnp.asarray(data.s0),
+        "i0": jnp.asarray(data.i0),
+        "r0": jnp.asarray(data.r0),
+        "beta": jnp.asarray(data.beta),
+        "gamma": jnp.asarray(data.gamma),
+        "labels": jnp.asarray(data.labels),
+        "graph_idx": jnp.asarray(data.graph_idx),
+    }
+
+
+def _batch_loss(model, params, adj_fn, node_mask_fn, d, bidx, bw):
+    gi = d["graph_idx"][bidx]
+    adj = adj_fn(gi)
+    node_mask = node_mask_fn(gi) if node_mask_fn is not None else None
+    pred = model.predict(
+        params,
+        adj,
+        d["s0"][bidx],
+        d["i0"][bidx],
+        d["r0"][bidx],
+        d["beta"][bidx],
+        d["gamma"][bidx],
+    )
+    loss = l1_sir_loss(pred, d["labels"][bidx], trial_weight=bw, node_mask=node_mask)
+    # item count for reference-style weighted aggregation (ode_nn_ngraph_sim.py:248)
+    n_eff = node_mask.sum(1) if node_mask is not None else d["s0"].shape[1]
+    items = 3.0 * (d["labels"].shape[1] - 1) * (bw * n_eff).sum()
+    return loss, items
+
+
+def make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn=None) -> Callable:
+    """One-jit whole-epoch trainer: scan over minibatch index rows."""
+
+    @jax.jit
+    def train_epoch(params, opt_state, d, batch_idx, batch_w):
+        def step(carry, xs):
+            params, opt_state = carry
+            bidx, bw = xs
+
+            def loss_fn(p):
+                loss, items = _batch_loss(model, p, adj_fn, node_mask_fn, d, bidx, bw)
+                return loss, items
+
+            (loss, items), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss * items, items)
+
+        (params, opt_state), (loss_sums, item_counts) = jax.lax.scan(
+            step, (params, opt_state), (batch_idx, batch_w)
+        )
+        return params, opt_state, loss_sums.sum() / item_counts.sum()
+
+    return train_epoch
+
+
+def make_eval_fn(model, adj_fn, node_mask_fn=None) -> Callable:
+    """Batched evaluation scan returning the item-weighted mean L1."""
+
+    @jax.jit
+    def evaluate(params, d, batch_idx, batch_w):
+        def step(_, xs):
+            bidx, bw = xs
+            loss, items = _batch_loss(model, params, adj_fn, node_mask_fn, d, bidx, bw)
+            return 0, (loss * items, items)
+
+        _, (loss_sums, item_counts) = jax.lax.scan(step, 0, (batch_idx, batch_w))
+        return loss_sums.sum() / item_counts.sum()
+
+    return evaluate
+
+
+@dataclasses.dataclass
+class FitResult:
+    params: Any
+    opt_state: Any
+    best_epoch: int
+    best_val_loss: float
+    test_loss: float
+    test_time: float
+    history: list  # (epoch, train_loss, val_loss)
+    epoch_times: list
+
+
+def fit(
+    model,
+    optimizer,
+    params,
+    data: TrialData,
+    train_idx,
+    val_idx,
+    test_idx,
+    adj_fn,
+    *,
+    epochs: int = 500,
+    batch_size: int = 1,
+    seed: int = 0,
+    node_mask_fn=None,
+    eval_batch_size: int | None = None,
+    verbose: bool = True,
+    log_every: int = 50,
+) -> FitResult:
+    """Full training protocol over a trial dataset.
+
+    ``adj_fn(graph_idx_batch) -> adjacency pytree`` supplies connectivity per
+    minibatch (constant closure for single-graph runs; per-trial gather for
+    multi-graph). Mirrors the reference driver loop at
+    ``ode_nn_ngraph_sim.py:448-467``.
+    """
+    d = _data_to_device(data)
+    opt_state = optimizer.init(params)
+    train_epoch = make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn)
+    evaluate = make_eval_fn(model, adj_fn, node_mask_fn)
+
+    ebs = eval_batch_size or max(batch_size, 8)
+    rng = np.random.default_rng(seed)
+    val_bi, val_bw = epoch_batches(len(val_idx), ebs, None)
+    test_bi, test_bw = epoch_batches(len(test_idx), ebs, None)
+    val_bi = np.asarray(val_idx, np.int32)[val_bi]
+    test_bi = np.asarray(test_idx, np.int32)[test_bi]
+
+    best_val = float("inf")
+    best_epoch = -1
+    test_loss = float("nan")
+    test_time = 0.0
+    history, epoch_times = [], []
+
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        bi, bw = epoch_batches(len(train_idx), batch_size, rng)
+        bi = np.asarray(train_idx, np.int32)[bi]
+        params, opt_state, train_loss = train_epoch(params, opt_state, d, bi, bw)
+        val_loss = float(evaluate(params, d, val_bi, val_bw))
+        jax.block_until_ready(val_loss)
+        epoch_times.append(time.perf_counter() - t0)
+        train_loss = float(train_loss)
+        history.append((epoch, train_loss, val_loss))
+
+        if val_loss < best_val:
+            best_val = val_loss
+            best_epoch = epoch
+            t1 = time.perf_counter()
+            test_loss = float(evaluate(params, d, test_bi, test_bw))
+            test_time = time.perf_counter() - t1
+        if verbose and (epoch % log_every == 0 or epoch == epochs - 1):
+            print(
+                f"Epoch: {epoch:03d}, Train Loss: {train_loss:.10f}, "
+                f"Val Loss: {val_loss:.10f} ({epoch_times[-1]:.3f}s)"
+            )
+
+    return FitResult(
+        params=params,
+        opt_state=opt_state,
+        best_epoch=best_epoch,
+        best_val_loss=best_val,
+        test_loss=test_loss,
+        test_time=test_time,
+        history=history,
+        epoch_times=epoch_times,
+    )

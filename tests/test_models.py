@@ -1,0 +1,150 @@
+"""Model-family tests: shapes, probability simplex, learning signal, DMP oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gn_ode_sir_tpu.models import DMPSIR, GCN, GIN, GNODE
+from gn_ode_sir_tpu.models.gnode import legacy_dense_gnode
+from gn_ode_sir_tpu.ops import gcn_norm_edges
+from gn_ode_sir_tpu.ops.adjacency import CooAdj, adjacency_from_graph
+
+
+def _toy_batch(g, B=3, seed=0):
+    rng = np.random.default_rng(seed)
+    i0 = np.zeros((B, g.n_nodes), np.float32)
+    for b in range(B):
+        i0[b, rng.choice(g.n_nodes, 2, replace=False)] = 1
+    s0 = 1 - i0
+    r0 = np.zeros_like(i0)
+    beta = jnp.asarray(rng.uniform(0.1, 0.5, B), jnp.float32)
+    gamma = jnp.asarray(rng.uniform(0.1, 0.5, B), jnp.float32)
+    return jnp.asarray(s0), jnp.asarray(i0), jnp.asarray(r0), beta, gamma
+
+
+def test_gnode_shapes_and_simplex(random_graph):
+    g = random_graph
+    model = GNODE(hidden=16, max_time=10)
+    params = model.init(jax.random.PRNGKey(0))
+    adj = adjacency_from_graph(g)
+    s0, i0, r0, beta, gamma = _toy_batch(g)
+    full = model.apply(params, adj, s0, i0, r0, beta, gamma)
+    assert full.shape == (20, 3, g.n_nodes, 3)  # [T_grid, B, n, 3]
+    np.testing.assert_allclose(np.asarray(full.sum(-1)), 1.0, atol=1e-5)
+    pred = model.predict(params, adj, s0, i0, r0, beta, gamma)
+    assert pred.shape == (10, 3, g.n_nodes, 3)
+
+
+def test_gnode_legacy_variant(random_graph):
+    g = random_graph
+    model = legacy_dense_gnode(hidden=8, max_time=10)
+    params = model.init(jax.random.PRNGKey(0))
+    assert "ln_scale" in params
+    adj = adjacency_from_graph(g)
+    s0, i0, r0, beta, gamma = _toy_batch(g, B=1)
+    pred = model.predict(params, adj, s0, i0, r0, beta, gamma)
+    assert pred.shape == (10, 1, g.n_nodes, 3)
+    assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_gnode_learns(random_graph):
+    """A few Adam steps on random-but-fixed labels must reduce the loss."""
+    import optax
+
+    from gn_ode_sir_tpu.train.loss import l1_sir_loss
+
+    from gn_ode_sir_tpu.sim import sir_classical
+
+    g = random_graph
+    model = GNODE(hidden=8, max_time=10)
+    params = model.init(jax.random.PRNGKey(0))
+    adj = adjacency_from_graph(g)
+    s0, i0, r0, beta, gamma = _toy_batch(g)
+    # fittable targets: mean-field SIR trajectories for the same trials
+    labs = []
+    for b in range(3):
+        seeds = np.nonzero(np.asarray(i0[b]))[0]
+        i_t, s_t, r_t = sir_classical(g, seeds, float(beta[b]), float(gamma[b]), max_time=10)
+        labs.append(np.stack([s_t, i_t, r_t], -1))
+    labels = jnp.asarray(np.stack(labs), jnp.float32)
+
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            pred = model.predict(p, adj, s0, i0, r0, beta, gamma)
+            return l1_sir_loss(pred, labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(20):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9
+
+
+@pytest.mark.parametrize("cls", [GCN, GIN])
+def test_gnn_baselines(random_graph, cls):
+    g = random_graph
+    model = cls(input_dim=5, hidden_dim=8, penultimate_dim=4, window=10)
+    params = model.init(jax.random.PRNGKey(0))
+    if cls is GCN:
+        src, dst, w = gcn_norm_edges(g)
+        adj = CooAdj(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), g.n_nodes)
+    else:
+        adj = adjacency_from_graph(g, prefer_dense=False)
+    s0, i0, r0, beta, gamma = _toy_batch(g)
+    x = jnp.concatenate(
+        [s0[..., None], i0[..., None], r0[..., None],
+         jnp.broadcast_to(beta[:, None, None], (3, g.n_nodes, 1)),
+         jnp.broadcast_to(gamma[:, None, None], (3, g.n_nodes, 1))],
+        axis=-1,
+    )
+    out = model.apply(params, adj, x)
+    assert out.shape == (9, 3, g.n_nodes, 3)  # window-1 time steps
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, atol=1e-5)
+    # train-mode dropout path runs
+    out_t = model.apply(params, adj, x, rng=jax.random.PRNGKey(1), train=True)
+    assert np.isfinite(np.asarray(out_t)).all()
+
+
+def test_dmp_matches_mc_on_tree():
+    """DMP is exact on trees — marginals must match MC to sampling error.
+
+    (On loopy graphs DMP is only an approximation — the reference uses it as
+    a baseline on real sparse networks, ``dmp.py:347-366``.)"""
+    import networkx as nx
+
+    from gn_ode_sir_tpu.graphs.graph import graph_from_networkx
+    from gn_ode_sir_tpu.sim import simulate_sir
+
+    G = nx.balanced_tree(2, 4)  # 31-node binary tree
+    g = graph_from_networkx(G, name="tree")
+    seeds = [0]
+    beta, gamma = 0.3, 0.2
+    dmp = DMPSIR.from_graph(g)
+    m = np.asarray(dmp.run(seeds, beta, gamma, max_time=15))
+    s, i, r = simulate_sir(g, seeds, beta, gamma, sims=40000, max_time=15,
+                           key=jax.random.PRNGKey(0))
+    mc = np.stack([s, i, r], axis=-1)
+    assert np.abs(m - mc).mean() < 0.005
+    assert np.abs(m - mc).max() < 0.03
+    # marginals are a probability simplex
+    np.testing.assert_allclose(m.sum(-1), 1.0, atol=1e-4)
+
+
+def test_dmp_cave_index():
+    from gn_ode_sir_tpu.models import cave_index
+
+    src = np.asarray([0, 1, 1, 2, 3])
+    dst = np.asarray([1, 0, 2, 1, 0])  # edge 4 (3->0) has no reverse
+    cave = cave_index(src, dst)
+    assert cave[0] == 1 and cave[1] == 0
+    assert cave[2] == 3 and cave[3] == 2
+    assert cave[4] == 5  # sentinel E

@@ -1,0 +1,96 @@
+"""Solver tests: convergence against scipy, adjoint-gradient consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gn_ode_sir_tpu.odeint import (
+    odeint_grid,
+    odeint_grid_backsolve,
+    resample_integer_times,
+)
+
+
+def _linear_field(t, y, args):
+    (a,) = (args,) if not isinstance(args, tuple) else args
+    return jax.tree_util.tree_map(lambda v: a @ v, y)
+
+
+def _decay(t, y, args):
+    return jax.tree_util.tree_map(lambda v: -args * v, y)
+
+
+def test_euler_rk4_orders():
+    """Error vs exp(-t): euler O(dt), rk4 O(dt^4)."""
+    y0 = jnp.asarray([1.0])
+    errs = {}
+    for method in ("euler", "rk4", "midpoint", "dopri5"):
+        ts = jnp.linspace(0.0, 1.0, 21)
+        ys = odeint_grid(_decay, y0, ts, 1.0, method=method, adjoint="direct")
+        exact = np.exp(-np.asarray(ts))
+        errs[method] = float(np.abs(np.asarray(ys)[:, 0] - exact).max())
+    assert errs["euler"] < 2e-2
+    assert errs["midpoint"] < 5e-4
+    # f32 roundoff floors the high-order methods near 1e-7
+    assert errs["rk4"] < 5e-7
+    assert errs["dopri5"] < 5e-7
+
+
+def test_sir_field_vs_scipy(random_graph):
+    from gn_ode_sir_tpu.sim import sir_classical
+
+    g = random_graph
+    seeds = [0, 3]
+    i_j, s_j, r_j = sir_classical(g, seeds, 0.25, 0.15, method="rk4")
+    i_s, s_s, r_s = sir_classical(g, seeds, 0.25, 0.15, engine="scipy")
+    # rk4 @ dt=0.5 vs adaptive LSODA: should agree to a few 1e-3
+    assert np.abs(i_j - i_s).max() < 5e-3
+    assert np.abs(s_j - s_s).max() < 5e-3
+
+
+def test_checkpoint_equals_direct_grads():
+    y0 = (jnp.asarray([1.0, 2.0]),)
+    ts = jnp.linspace(0.0, 1.0, 11)
+
+    def loss(a, adjoint):
+        ys = odeint_grid(_decay, y0, ts, a, method="rk4", adjoint=adjoint)
+        return sum(jnp.sum(v**2) for v in jax.tree_util.tree_leaves(ys))
+
+    g_direct = jax.grad(loss)(0.7, "direct")
+    g_ckpt = jax.grad(loss)(0.7, "checkpoint")
+    np.testing.assert_allclose(float(g_direct), float(g_ckpt), rtol=1e-6)
+
+
+def test_backsolve_close_to_direct():
+    y0 = (jnp.asarray([1.0, 2.0]),)
+    ts = jnp.linspace(0.0, 1.0, 41)
+
+    def loss(a, mode):
+        if mode == "backsolve":
+            ys = odeint_grid_backsolve(_decay, y0, ts, a, method="rk4")
+        else:
+            ys = odeint_grid(_decay, y0, ts, a, method="rk4", adjoint="direct")
+        return sum(jnp.sum(v**2) for v in jax.tree_util.tree_leaves(ys))
+
+    v_direct = loss(0.7, "direct")
+    v_back = loss(0.7, "backsolve")
+    np.testing.assert_allclose(float(v_direct), float(v_back), rtol=1e-6)
+    g_direct = jax.grad(loss)(0.7, "direct")
+    g_back = jax.grad(loss)(0.7, "backsolve")
+    np.testing.assert_allclose(float(g_direct), float(g_back), rtol=2e-3)
+
+
+def test_dense_output_contract():
+    """First slice equals y0; shape is [T, ...]."""
+    y0 = jnp.asarray([2.0, 3.0])
+    ts = jnp.linspace(0.0, 2.0, 9)
+    ys = odeint_grid(_decay, y0, ts, 0.5, method="euler", adjoint="direct")
+    assert ys.shape == (9, 2)
+    np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(y0))
+
+
+def test_resample_integer_times():
+    traj = np.arange(40)[:, None] * np.ones((40, 3))
+    out = resample_integer_times(traj, max_time=20, delta_t=0.5)
+    np.testing.assert_allclose(out[:, 0], [int(i / 0.5) for i in range(20)])

@@ -1,0 +1,127 @@
+"""Unit tests for the SpMM / segment-reduction kernel layer.
+
+Strategy per SURVEY.md §4: validate every sparse primitive against the dense
+matmul oracle on random graphs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gn_ode_sir_tpu.ops import (
+    gcn_norm_edges,
+    segment_prod,
+    segment_sum,
+    spmm,
+    spmm_coo,
+    spmm_coo_batched,
+    spmm_dense,
+    spmm_pallas,
+)
+from gn_ode_sir_tpu.ops.adjacency import CooAdj, DenseAdj, adjacency_from_graph
+
+
+def test_spmm_coo_matches_dense(random_graph):
+    g = random_graph
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((g.n_nodes, 16)), jnp.float32)
+    dense = spmm_dense(jnp.asarray(g.dense_adjacency), x)
+    coo = spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), x, g.n_nodes)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(coo), rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_batched_matches_loop(random_graph):
+    g = random_graph
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((3, g.n_nodes, 8)), jnp.float32)
+    batched = spmm_coo_batched(jnp.asarray(g.src), jnp.asarray(g.dst), x, g.n_nodes)
+    for b in range(3):
+        one = spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), x[b], g.n_nodes)
+        np.testing.assert_allclose(np.asarray(batched[b]), np.asarray(one), rtol=1e-5)
+
+
+def test_spmm_dispatch(random_graph):
+    g = random_graph
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((g.n_nodes, 4)), jnp.float32)
+    a = spmm(g, x, prefer_dense=True)
+    b = spmm(g, x, prefer_dense=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_padded_edges_weighting(random_graph):
+    g = random_graph
+    e_max = g.n_edges + 37
+    src, dst, w = g.padded_edges(e_max)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((g.n_nodes, 8)), jnp.float32)
+    padded = spmm_coo(jnp.asarray(src), jnp.asarray(dst), x, g.n_nodes, jnp.asarray(w))
+    exact = spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), x, g.n_nodes)
+    np.testing.assert_allclose(np.asarray(padded), np.asarray(exact), rtol=1e-5)
+
+
+def test_segment_prod_identity_and_values():
+    data = jnp.asarray([2.0, 3.0, 5.0, 7.0])
+    ids = jnp.asarray([0, 0, 2, 2])
+    out = segment_prod(data, ids, 4, indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(out), [6.0, 1.0, 35.0, 1.0])
+
+
+def test_gcn_norm_edges(random_graph):
+    g = random_graph
+    src, dst, w = gcn_norm_edges(g)
+    # dense oracle: D^-1/2 (A+I) D^-1/2
+    a = g.dense_adjacency + np.eye(g.n_nodes, dtype=np.float32)
+    d = a.sum(1)
+    dinv = 1.0 / np.sqrt(d)
+    a_norm = dinv[:, None] * a * dinv[None, :]
+    x = np.random.default_rng(4).standard_normal((g.n_nodes, 8)).astype(np.float32)
+    expect = a_norm @ x
+    got = spmm_coo(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(x), g.n_nodes, jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_spmm_interpret(random_graph):
+    g = random_graph
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((g.n_nodes, 8)).astype(np.float32)
+    ref = spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), jnp.asarray(x), g.n_nodes)
+    out = spmm_pallas(g.src, g.dst, x, g.n_nodes, block_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_adjacency_pytrees_jit(random_graph):
+    g = random_graph
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, g.n_nodes, 8)), jnp.float32)
+    dense = adjacency_from_graph(g, prefer_dense=True)
+    coo = adjacency_from_graph(g, prefer_dense=False)
+
+    @jax.jit
+    def run(adj, x):
+        return adj.matvec(x)
+
+    np.testing.assert_allclose(
+        np.asarray(run(dense, x)), np.asarray(run(coo, x)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_per_sample_coo_batch(random_graph):
+    """CooAdj with a leading batch axis == per-sample loop."""
+    g = random_graph
+    rng = np.random.default_rng(7)
+    e_max = g.n_edges + 128 - g.n_edges % 128
+    src, dst, w = g.padded_edges(e_max)
+    B = 3
+    adj = CooAdj(
+        jnp.asarray(np.stack([src] * B)),
+        jnp.asarray(np.stack([dst] * B)),
+        jnp.asarray(np.stack([w] * B)),
+        g.n_nodes,
+    )
+    x = jnp.asarray(rng.standard_normal((B, g.n_nodes, 4)), jnp.float32)
+    out = adj.matvec(x)
+    for b in range(B):
+        one = spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), x[b], g.n_nodes)
+        np.testing.assert_allclose(np.asarray(out[b]), np.asarray(one), rtol=1e-5)

@@ -1,0 +1,108 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: sharded simulation,
+SPMD data-parallel training step == single-device step, edge-sharded SpMM."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from gn_ode_sir_tpu.models import GNODE
+from gn_ode_sir_tpu.ops import spmm_coo
+from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
+from gn_ode_sir_tpu.parallel import (
+    make_mesh,
+    make_spmd_train_step,
+    simulate_sir_sharded,
+    spmm_edge_sharded,
+)
+from gn_ode_sir_tpu.train.loss import l1_sir_loss
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh()
+
+
+def test_sharded_sim_properties(karate, mesh):
+    s, i, r = simulate_sir_sharded(
+        karate, [0, 5], 0.3, 0.2, mesh=mesh, sims=4000, key=jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(s + i + r, 1.0, atol=1e-9)
+    assert np.all(np.diff(r, axis=0) >= -1e-12)
+
+
+def test_sharded_sim_matches_single_device(karate, mesh):
+    """Same process, independent streams: means agree to MC tolerance."""
+    from gn_ode_sir_tpu.sim import simulate_sir
+
+    s1, i1, r1 = simulate_sir(karate, [0], 0.3, 0.2, sims=8000, key=jax.random.PRNGKey(1))
+    s8, i8, r8 = simulate_sir_sharded(
+        karate, [0], 0.3, 0.2, mesh=mesh, sims=8000, key=jax.random.PRNGKey(2)
+    )
+    assert np.abs(i1 - i8).mean() < 0.02
+
+
+def test_spmd_train_step_equals_single_device(random_graph, mesh):
+    g = random_graph
+    model = GNODE(hidden=8, max_time=10)
+    params = model.init(jax.random.PRNGKey(0))
+    adj = adjacency_from_graph(g)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = make_spmd_train_step(model, opt, lambda gi: adj, mesh)
+
+    B = 16
+    rng = np.random.default_rng(0)
+    i0 = np.zeros((B, g.n_nodes), np.float32)
+    for b in range(B):
+        i0[b, rng.choice(g.n_nodes, 2, replace=False)] = 1
+    batch = {
+        "s0": jnp.asarray(1 - i0),
+        "i0": jnp.asarray(i0),
+        "r0": jnp.zeros((B, g.n_nodes)),
+        "beta": jnp.full((B,), 0.3),
+        "gamma": jnp.full((B,), 0.2),
+        "weight": jnp.ones((B,)),
+        "labels": jnp.asarray(rng.random((B, 10, g.n_nodes, 3)), jnp.float32),
+        "graph_idx": jnp.zeros((B,), jnp.int32),
+    }
+    p_spmd, _, loss_spmd = step(params, opt_state, batch)
+
+    def loss_fn(p):
+        pred = model.predict(
+            p, adj, batch["s0"], batch["i0"], batch["r0"], batch["beta"], batch["gamma"]
+        )
+        return l1_sir_loss(pred, batch["labels"], trial_weight=batch["weight"])
+
+    loss_ref, grads = jax.value_and_grad(loss_fn)(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_ref = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(loss_spmd), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_spmd), jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_edge_sharded_spmm(random_graph, mesh):
+    g = random_graph
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((2, g.n_nodes, 8)), jnp.float32)
+    E = g.n_edges
+    pad = (-E) % 8
+    src_p = np.concatenate([g.src, np.zeros(pad, np.int32)])
+    dst_p = np.concatenate([g.dst, np.zeros(pad, np.int32)])
+    w = np.concatenate([np.ones(E, np.float32), np.zeros(pad, np.float32)])
+
+    f = jax.shard_map(
+        lambda s, d, ww, xx: spmm_edge_sharded(s, d, xx, g.n_nodes, "data", ww),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    out = f(jnp.asarray(src_p), jnp.asarray(dst_p), jnp.asarray(w), x)
+    ref = jax.vmap(lambda xb: spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), xb, g.n_nodes))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)

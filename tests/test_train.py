@@ -1,0 +1,128 @@
+"""Training-layer tests: loss semantics, splits, batching, end-to-end fit,
+checkpoint round-trip, CSV sink schema."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gn_ode_sir_tpu.models import GNODE
+from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
+from gn_ode_sir_tpu.train import (
+    build_trial_data,
+    fit,
+    l1_sir_loss,
+    restore_checkpoint,
+    save_checkpoint,
+    split_indices,
+)
+from gn_ode_sir_tpu.train.data import epoch_batches
+
+
+def test_l1_loss_matches_reference_semantics():
+    """Mean |pred - y| over t >= 1 (ode_nn_ngraph_sim.py:234)."""
+    rng = np.random.default_rng(0)
+    pred = rng.random((5, 2, 7, 3))  # [T, B, n, 3]
+    y = rng.random((2, 5, 7, 3))  # [B, T, n, 3]
+    expect = np.abs(np.transpose(pred, (1, 0, 2, 3))[:, 1:] - y[:, 1:]).mean()
+    got = float(l1_sir_loss(jnp.asarray(pred), jnp.asarray(y)))
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_l1_loss_trial_weights_ignore_padding():
+    rng = np.random.default_rng(1)
+    pred = jnp.asarray(rng.random((5, 3, 7, 3)))
+    y = jnp.asarray(rng.random((3, 5, 7, 3)))
+    w = jnp.asarray([1.0, 1.0, 0.0])
+    got = float(l1_sir_loss(pred, y, trial_weight=w))
+    expect = float(l1_sir_loss(pred[:, :2], y[:2]))
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_split_indices_reference_boundaries():
+    tr, va, te = split_indices(200, (0.6, 0.2, 0.2))
+    assert len(tr) == 120 and len(va) == 40 and len(te) == 40
+    # int-floor semantics on awkward sizes
+    tr, va, te = split_indices(7, (0.6, 0.2, 0.2))
+    assert len(tr) == 4 and (len(tr) + len(va) + len(te)) == 7
+
+
+def test_epoch_batches_padding():
+    bi, bw = epoch_batches(7, 3, None)
+    assert bi.shape == (3, 3) and bw.shape == (3, 3)
+    assert bw.sum() == 7.0
+    assert bw[-1, -1] == 0.0 and bw[-1, -2] == 0.0
+
+
+def test_fit_end_to_end(random_graph, tmp_path):
+    """Tiny full protocol: loss decreases, best-val test populated,
+    checkpoint round-trips."""
+    from gn_ode_sir_tpu.sim import sir_classical
+
+    g = random_graph
+    rng = np.random.default_rng(0)
+    N, T = 12, 10
+    seed_sets, betas, gammas, triples = [], [], [], []
+    for k in range(N):
+        seeds = rng.choice(g.n_nodes, 2, replace=False)
+        beta, gamma = rng.uniform(0.1, 0.5), rng.uniform(0.1, 0.5)
+        i_t, s_t, r_t = sir_classical(g, seeds, beta, gamma, max_time=T)
+        seed_sets.append(list(seeds))
+        betas.append(beta)
+        gammas.append(gamma)
+        triples.append((s_t, i_t, r_t))  # mean-field labels: cheap + smooth
+
+    data = build_trial_data(g.n_nodes, seed_sets, betas, gammas, triples)
+    tr, va, te = split_indices(N, (0.6, 0.2, 0.2))
+    model = GNODE(hidden=8, max_time=T)
+    params = model.init(jax.random.PRNGKey(0))
+    adj = adjacency_from_graph(g)
+    opt = optax.adam(1e-2)
+    res = fit(
+        model, opt, params, data, tr, va, te, lambda gi: adj,
+        epochs=8, batch_size=4, verbose=False,
+    )
+    first_train = res.history[0][1]
+    last_train = res.history[-1][1]
+    assert last_train < first_train
+    assert np.isfinite(res.test_loss)
+    assert res.best_epoch >= 0
+
+    path = save_checkpoint(str(tmp_path), {"params": res.params, "epoch": res.best_epoch})
+    restored = restore_checkpoint(str(tmp_path), {"params": res.params, "epoch": 0})
+    leaves_a = jax.tree_util.tree_leaves(res.params)
+    leaves_b = jax.tree_util.tree_leaves(restored["params"])
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_csv_sink_schema(tmp_path):
+    from gn_ode_sir_tpu.utils import csv_trials, save_trial_to_csv
+    from gn_ode_sir_tpu.utils.config import ExperimentConfig
+    from gn_ode_sir_tpu.utils.csvsink import TRIAL_COLUMNS
+
+    cfg = ExperimentConfig(
+        path_to_save=str(tmp_path), beta=[0.2], gamma=[0.1], i_indices=[[1, 2]]
+    )
+    save_trial_to_csv(cfg, "karate", 3, 0.1, 0.12, 0.2, 0.5, 0.1)
+    save_trial_to_csv(cfg, "karate", 4, 0.2, 0.22, 0.2, 0.5, 0.1)
+    import csv as csvmod
+
+    with open(os.path.join(str(tmp_path), "Metrics-trials-karate")) as f:
+        rows = list(csvmod.reader(f))
+    assert rows[0] == TRIAL_COLUMNS
+    assert len(rows) == 3
+
+
+def test_out_of_dist_split(karate_fixture_dir):
+    from gn_ode_sir_tpu.train import out_of_dist_split
+
+    path = os.path.join(karate_fixture_dir, "out-of-dist-gamma.pkl")
+    if not os.path.exists(path):
+        pytest.skip("no out-of-dist fixture")
+    d = out_of_dist_split(path)
+    assert len(d["train"]) > 0 and len(d["val"]) > 0
+    assert set(d["train"]).isdisjoint(set(d["val"]))
