@@ -1,0 +1,1 @@
+"""CLI layer: experiment worker + monitorer experiment-matrix driver."""

@@ -1,0 +1,180 @@
+"""Monitorer — the experiment-matrix driver (orchestration layer L5).
+
+Replaces ``monitorer-sim.py`` / ``monitorer-ngraphs.py``. Differences by
+design: experiments run IN-PROCESS (the jit cache makes sequential runs
+cheap; the reference pays a fresh CUDA+import boot per ``Popen``,
+``monitorer-sim.py:191-196``), while keeping the reference semantics:
+
+- module-level defaults identical to ``monitorer-sim.py:8-24``;
+- trial parameters sampled once and persisted/reloaded via
+  ``initial-{seed,beta,gamma}.pkl`` (``:146-158``);
+- ``--only N ...`` to rerun selected procedures after a failure;
+- a failed experiment prints the reference's marker line and the matrix
+  continues (``:197-198``).
+
+Usage:
+  python -m gn_ode_sir_tpu.cli.monitorer                 # full matrix
+  python -m gn_ode_sir_tpu.cli.monitorer --only 3 7      # rerun selected
+  python -m gn_ode_sir_tpu.cli.monitorer --subprocess    # reference-style Popen isolation
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import pickle
+import sys
+import traceback
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MatrixConfig:
+    """The monitorer knobs (defaults = ``monitorer-sim.py:8-24``)."""
+
+    many_graph_instances: bool = True
+    epochs: int = 500
+    lr: float = 1e-4
+    batch_size: int = 1
+    train_val_test_ratio: tuple = (0.6, 0.2, 0.2)
+    n_i: tuple = (2,)
+    trials_per_number: int = 200
+    delta_t: float = 0.5
+    max_time: int = 20
+    sim: int = 10000
+    hidden_dim_array: tuple = (64,)
+    datasets_array: tuple = ("./real_graphs/karate",)
+    model: str = "ode_nn"
+    out_of_dist: bool = False
+    experiments_root: str = "./multi-graph-1"
+    seed: int | None = None
+
+
+def random_parameters_sir(graph, n_i, trials_per_number, rng=None):
+    """Sample (seed-set, beta, gamma) per trial (``monitorer-sim.py:105-121``)."""
+    rng = rng or np.random.default_rng()
+    i_indices, betas, gammas = [], [], []
+    for k in n_i:
+        for _ in range(trials_per_number):
+            i_indices.append([int(i) for i in rng.choice(graph.n_nodes, k, replace=False)])
+            betas.append(float(rng.uniform(0.1, 0.5)))
+            gammas.append(float(rng.uniform(0.1, 0.5)))
+    return i_indices, betas, gammas
+
+
+def _load_or_create_params(cfg: MatrixConfig, dataset: str, path_to_save: str):
+    from gn_ode_sir_tpu.graphs import load_graph
+
+    seed_pkl = os.path.join(path_to_save, "initial-seed.pkl")
+    if os.path.exists(seed_pkl):
+        with open(seed_pkl, "rb") as f:
+            i_indices = pickle.load(f)
+        with open(os.path.join(path_to_save, "initial-beta.pkl"), "rb") as f:
+            betas = pickle.load(f)
+        with open(os.path.join(path_to_save, "initial-gamma.pkl"), "rb") as f:
+            gammas = pickle.load(f)
+        return i_indices, betas, gammas
+    g = load_graph(dataset)
+    rng = np.random.default_rng(cfg.seed)
+    return random_parameters_sir(g, cfg.n_i, cfg.trials_per_number, rng)
+
+
+def build_worker_argv(cfg: MatrixConfig, dataset, path_to_save, hidden, trial,
+                      i_indices, betas, gammas) -> list[str]:
+    argv = [
+        "--lr", str(cfg.lr), "--epochs", str(cfg.epochs), "--hidden", str(hidden),
+        "--batch_size", str(cfg.batch_size),
+        "--train_val_test_ratio", *[str(r) for r in cfg.train_val_test_ratio],
+        "--deltaT", str(cfg.delta_t), "--maxTime", str(cfg.max_time),
+        "--sim", str(cfg.sim), "--trial", str(trial), "--dataset", dataset,
+        "--path_to_save", path_to_save, "--model", cfg.model,
+        "--I_indices", *[str(i) for i in i_indices],
+        "--beta", *[str(b) for b in betas],
+        "--gamma", *[str(g) for g in gammas],
+    ]
+    if cfg.out_of_dist:
+        argv.append("--out_of_dist")
+    return argv
+
+
+def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False) -> int:
+    from gn_ode_sir_tpu.cli import worker
+
+    failures = 0
+    proc_num, trial = 1, 1
+    total = len(cfg.datasets_array) * len(cfg.hidden_dim_array)
+    for dataset in cfg.datasets_array:
+        stem = os.path.basename(dataset)
+        path_to_save = os.path.join(
+            cfg.experiments_root, f"Experiments-seed{cfg.n_i[0]}-{stem}"
+        )
+        os.makedirs(path_to_save, exist_ok=True)
+        i_indices, betas, gammas = _load_or_create_params(cfg, dataset, path_to_save)
+
+        for hidden in cfg.hidden_dim_array:
+            if only and proc_num not in only:
+                proc_num += 1
+                continue
+            argv = build_worker_argv(
+                cfg, dataset, path_to_save, hidden, trial, i_indices, betas, gammas
+            )
+            print(f"[MONITORER] Started experiment {proc_num}/{total}: model={cfg.model} "
+                  f"dataset={stem} hidden={hidden}")
+            try:
+                if use_subprocess:
+                    import subprocess
+
+                    rc = subprocess.call(
+                        [sys.executable, "-m", "gn_ode_sir_tpu.cli.worker", *argv]
+                    )
+                    if rc != 0:
+                        raise RuntimeError(f"worker exited with {rc}")
+                else:
+                    worker.main(argv)
+            except Exception:
+                print("[MONITORER] Oops! Something broke!")
+                traceback.print_exc()
+                failures += 1
+            proc_num += 1
+            trial += 1
+        trial = 1
+    print(f"[MONITORER] Completed {proc_num - 1} procedures, {failures} failures.")
+    return 1 if failures else 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="GN-ODE SIR experiment matrix")
+    p.add_argument("--only", nargs="+", type=int, default=[])
+    p.add_argument("--subprocess", action="store_true",
+                   help="run each experiment in a subprocess (reference behavior)")
+    p.add_argument("--model", default=None)
+    p.add_argument("--datasets", nargs="+", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--trials", type=int, default=None)
+    p.add_argument("--hidden", type=int, nargs="+", default=None)
+    p.add_argument("--experiments_root", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    args = p.parse_args(argv)
+
+    cfg = MatrixConfig()
+    if args.model:
+        cfg.model = args.model
+    if args.datasets:
+        cfg.datasets_array = tuple(args.datasets)
+    if args.epochs is not None:
+        cfg.epochs = args.epochs
+    if args.trials is not None:
+        cfg.trials_per_number = args.trials
+    if args.hidden:
+        cfg.hidden_dim_array = tuple(args.hidden)
+    if args.experiments_root:
+        cfg.experiments_root = args.experiments_root
+    if args.seed is not None:
+        cfg.seed = args.seed
+    return run_matrix(cfg, only=tuple(args.only), use_subprocess=args.subprocess)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

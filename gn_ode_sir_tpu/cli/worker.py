@@ -1,0 +1,274 @@
+"""Experiment worker — the CLI entry point for one experiment run.
+
+Replaces the reference worker scripts (``ode_nn_ngraph_sim.py``,
+``gnn_ngraph.py``, ``dmp.py`` mains) with one driver selecting the model
+family by ``--model``; flag names follow the reference argparse
+(``ode_nn_ngraph_sim.py:326-343``) so monitorer-style invocations port 1:1:
+
+  python -m gn_ode_sir_tpu.cli.worker --dataset ./real_graphs/karate \\
+      --model ode_nn --hidden 64 --epochs 500 --lr 1e-4 --batch_size 1 \\
+      --I_indices "[25, 18]" "[1, 27]" --beta 0.47 0.26 --gamma 0.31 0.33 \\
+      --path_to_save ./experiments/karate
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import numpy as np
+
+
+def parse_i_indices(raw) -> list[list[int]]:
+    """Accept both the reference's list-strings ('[25, 18]',
+    ``ode_nn_ngraph_sim.py:350-351``) and plain comma forms ('25,18')."""
+    out = []
+    for item in raw:
+        s = str(item).strip().strip("[]")
+        parts = [p for p in s.replace(",", " ").split() if p]
+        out.append([int(p) for p in parts])
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native GN-ODE SIR experiment worker")
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--sim", type=int, default=1000)
+    p.add_argument("--beta", type=float, nargs="+", default=[0.2])
+    p.add_argument("--gamma", type=float, nargs="+", default=[0.1])
+    p.add_argument("--deltaT", type=float, default=0.5)
+    p.add_argument("--maxTime", type=int, default=20)
+    p.add_argument("--I_indices", nargs="+", default=["12"])
+    p.add_argument("--hidden", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--path_to_save", default="./experiments")
+    p.add_argument("--trial", type=int, default=1)
+    p.add_argument("--dataset", default="none")
+    p.add_argument("--train_val_test_ratio", nargs=3, type=float, default=[0.6, 0.2, 0.2])
+    p.add_argument("--model", default="ode_nn", choices=["ode_nn", "GCN", "GIN", "dmp", "rk"])
+    p.add_argument("--out_of_dist", default=False, action="store_true")
+    # new (TPU framework) knobs
+    p.add_argument("--method", default="euler", help="ODE solver (euler/midpoint/rk4/dopri5)")
+    p.add_argument("--adjoint", default="checkpoint", help="checkpoint|direct|backsolve")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval_batch_size", type=int, default=8)
+    p.add_argument("--rk_baseline", action="store_true", help="also run the RK mean-field baseline")
+    p.add_argument("--save_checkpoint", action="store_true", help="save best params via Orbax")
+    p.add_argument("--log_every", type=int, default=1)
+    return p
+
+
+def load_experiment(args):
+    """Graph + per-trial labels + TrialData (labels extracted on device on
+    cache miss, mirroring ``load_SIR_labels``)."""
+    import jax
+
+    from gn_ode_sir_tpu.graphs import load_graph
+    from gn_ode_sir_tpu.train import build_trial_data
+    from gn_ode_sir_tpu.utils import load_or_extract_labels
+
+    g = load_graph(args.dataset)
+    i_indices = parse_i_indices(args.I_indices)
+    os.makedirs(args.path_to_save, exist_ok=True)
+
+    # persist trial parameters exactly like the reference (ode_nn_ngraph_sim.py:353-356)
+    seed_pkl = os.path.join(args.path_to_save, "initial-seed.pkl")
+    if not os.path.exists(seed_pkl):
+        with open(seed_pkl, "wb") as f:
+            pickle.dump(i_indices, f)
+        with open(os.path.join(args.path_to_save, "initial-beta.pkl"), "wb") as f:
+            pickle.dump(list(args.beta), f)
+        with open(os.path.join(args.path_to_save, "initial-gamma.pkl"), "wb") as f:
+            pickle.dump(list(args.gamma), f)
+
+    triples = []
+    for k, seeds in enumerate(i_indices):
+        triples.append(
+            load_or_extract_labels(
+                g,
+                seeds,
+                args.beta[k],
+                args.gamma[k],
+                sim=args.sim,
+                max_time=args.maxTime,
+                save_dir=args.path_to_save,
+                key=jax.random.PRNGKey(1000 + k),
+            )
+        )
+    data = build_trial_data(g.n_nodes, i_indices, args.beta, args.gamma, triples)
+    return g, i_indices, data
+
+
+def get_splits(args, n_trials: int):
+    from gn_ode_sir_tpu.train import out_of_dist_split, split_indices
+
+    if not args.out_of_dist:
+        return split_indices(n_trials, tuple(args.train_val_test_ratio))
+    d = out_of_dist_split(os.path.join(args.path_to_save, "out-of-dist-gamma.pkl"))
+    test = np.asarray(
+        [i for i in range(n_trials) if i not in d["in_train"] and i not in d["in_val"]],
+        np.int64,
+    )
+    return d["train"], d["val"], test
+
+
+def run_trainable(args, g, data, splits):
+    import jax
+    import optax
+
+    from gn_ode_sir_tpu.models import GCN, GIN, GNODE, TimeUnrolledSIR
+    from gn_ode_sir_tpu.ops import gcn_norm_edges
+    from gn_ode_sir_tpu.ops.adjacency import CooAdj, adjacency_from_graph
+    from gn_ode_sir_tpu.train import fit
+
+    import jax.numpy as jnp
+
+    tr, va, te = splits
+    if args.model == "ode_nn":
+        model = GNODE(
+            hidden=args.hidden,
+            max_time=args.maxTime,
+            delta_t=args.deltaT,
+            method=args.method,
+            adjoint=args.adjoint,
+        )
+        adj = adjacency_from_graph(g)
+    elif args.model == "GCN":
+        model = TimeUnrolledSIR(
+            GCN(input_dim=5, hidden_dim=args.hidden,
+                penultimate_dim=max(args.hidden // 2, 1), window=args.maxTime)
+        )
+        src, dst, w = gcn_norm_edges(g)
+        adj = CooAdj(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), g.n_nodes)
+    else:  # GIN
+        model = TimeUnrolledSIR(
+            GIN(input_dim=5, hidden_dim=args.hidden,
+                penultimate_dim=max(args.hidden // 2, 1), window=args.maxTime)
+        )
+        adj = adjacency_from_graph(g, prefer_dense=False)
+
+    params = model.init(jax.random.PRNGKey(args.seed))
+    res = fit(
+        model,
+        optax.adam(args.lr),
+        params,
+        data,
+        tr,
+        va,
+        te,
+        lambda gi: adj,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        seed=args.seed,
+        eval_batch_size=args.eval_batch_size,
+        verbose=True,
+        log_every=args.log_every,
+    )
+    if args.save_checkpoint:
+        from gn_ode_sir_tpu.train import save_checkpoint
+
+        save_checkpoint(
+            os.path.join(args.path_to_save, f"ckpt-trial{args.trial}-{args.model}"),
+            {"params": res.params, "best_epoch": res.best_epoch},
+        )
+    return res
+
+
+def run_dmp(args, g, data, splits):
+    """Closed-form DMP inference on the test split (``dmp.py:344-366``)."""
+    from gn_ode_sir_tpu.models import DMPSIR
+
+    _, _, te = splits
+    dmp = DMPSIR.from_graph(g)
+    t0 = time.time()
+    losses = []
+    for i in te:
+        m = np.asarray(dmp.run(
+            np.nonzero(data.i0[i])[0], float(data.beta[i]), float(data.gamma[i]),
+            max_time=args.maxTime,
+        ))
+        losses.append(np.abs(m[1:] - data.labels[i][1:]).mean())
+    dt = time.time() - t0
+    test_loss = float(np.mean(losses))
+    print(f"DMP baseline Loss: {test_loss:.5f}")
+    print(f"Time inference baseline: {dt:.5f}")
+    return test_loss, dt
+
+
+def run_rk(args, g, data, splits):
+    """Classical mean-field baseline on the test split (``ode_nn.py:606-622``)."""
+    from gn_ode_sir_tpu.sim import sir_classical
+
+    _, _, te = splits
+    t0 = time.time()
+    losses = []
+    for i in te:
+        i_t, s_t, r_t = sir_classical(
+            g, np.nonzero(data.i0[i])[0], float(data.beta[i]), float(data.gamma[i]),
+            delta_t=args.deltaT, max_time=args.maxTime,
+        )
+        pred = np.stack([s_t, i_t, r_t], -1)
+        losses.append(np.abs(pred - data.labels[i]).mean())
+    dt = time.time() - t0
+    loss = float(np.mean(losses))
+    print(f"Runge-kutta baseline Loss: {loss:.5f}")
+    print(f"Time inference baseline: {dt:.5f}")
+    return loss, dt
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from gn_ode_sir_tpu.utils.config import ExperimentConfig
+    from gn_ode_sir_tpu.utils.csvsink import csv_trials, save_trial_to_csv
+
+    g, i_indices, data = load_experiment(args)
+    print(f"nodes {g.n_nodes}\nedges {g.n_edges // 2}")
+    splits = get_splits(args, data.num_trials)
+
+    cfg = ExperimentConfig(
+        model=args.model, hidden=args.hidden, lr=args.lr, epochs=args.epochs,
+        batch_size=args.batch_size, beta=list(args.beta), gamma=list(args.gamma),
+        i_indices=i_indices, delta_t=args.deltaT, max_time=args.maxTime,
+        sim=args.sim, dataset=args.dataset, path_to_save=args.path_to_save,
+        train_val_test_ratio=list(args.train_val_test_ratio),
+        out_of_dist=args.out_of_dist, trial=args.trial,
+    )
+    dataset_name = g.name
+
+    if args.model == "dmp":
+        test_loss, dt = run_dmp(args, g, data, splits)
+        save_trial_to_csv(cfg, dataset_name, 0, 0.0, test_loss, 0.0, dt, 0.0)
+        return 0
+    if args.model == "rk":
+        loss, dt = run_rk(args, g, data, splits)
+        save_trial_to_csv(cfg, dataset_name, 0, 0.0, loss, loss, dt, dt)
+        return 0
+
+    res = run_trainable(args, g, data, splits)
+    loss_baseline, rk_time = 0.0, 0.0
+    if args.rk_baseline:
+        loss_baseline, rk_time = run_rk(args, g, data, splits)
+
+    if not args.out_of_dist:
+        save_trial_to_csv(
+            cfg, dataset_name, res.best_epoch, res.best_val_loss, res.test_loss,
+            loss_baseline, res.test_time, rk_time,
+        )
+    else:
+        # out-of-dist runs write the two extra CSVs (ode_nn_ngraph_sim.py:482-484)
+        csv_trials(
+            os.path.join(args.path_to_save, f"Out-of-dist-gamma-trials-{dataset_name}"),
+            ["trial", "model", "lr", "epochs", "deltaT", "maxTime", "hidden",
+             "best_epoch", "val_loss", "test_loss", "n_ode_time"],
+            [args.trial, args.model, args.lr, args.epochs, args.deltaT, args.maxTime,
+             args.hidden, res.best_epoch, res.best_val_loss, res.test_loss, res.test_time],
+        )
+    print(f"Test Loss: {res.test_loss:.5f} at epoch: {res.best_epoch:03d}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

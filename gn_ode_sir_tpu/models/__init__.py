@@ -5,9 +5,19 @@ and are plain-pytree functional models: ``Model.init(key) -> params`` and
 ``Model.apply(params, ...) -> predictions``, fully jit/vmap/pjit-composable.
 """
 
-from gn_ode_sir_tpu.models.gnode import GNODE, gnode_ode_func
+from gn_ode_sir_tpu.models.gnode import GNODE, gnode_ode_func, legacy_dense_gnode
 from gn_ode_sir_tpu.models.gcn import GCN
 from gn_ode_sir_tpu.models.gin import GIN
 from gn_ode_sir_tpu.models.dmp import DMPSIR, cave_index
+from gn_ode_sir_tpu.models.adapter import TimeUnrolledSIR
 
-__all__ = ["GNODE", "GCN", "GIN", "DMPSIR", "gnode_ode_func", "cave_index"]
+__all__ = [
+    "GNODE",
+    "GCN",
+    "GIN",
+    "DMPSIR",
+    "TimeUnrolledSIR",
+    "gnode_ode_func",
+    "legacy_dense_gnode",
+    "cave_index",
+]

@@ -108,15 +108,19 @@ class GNODE:
             params["ln_bias"] = jnp.zeros((self.hidden,))
         return params
 
-    def apply(self, params, adj, s0, i0, r0, beta, gamma):
+    def apply(self, params, adj, s0, i0, r0, beta, gamma, *, rng=None, train=False):
         """Full-grid forward.
 
         Args:
           adj: DenseAdj/CooAdj pytree.
           s0, i0, r0: [B, n] initial per-node state indicators.
           beta, gamma: [B] per-trial SIR rates.
+          rng, train: accepted for a uniform model interface (GNODE itself is
+            deterministic — the reference's dropout layers are dead code,
+            ``ode_nn_ngraph_sim.py:51,64``).
         Returns probabilities [T_grid, B, n, 3] (softmax over SIR).
         """
+        del rng, train
         enc = lambda c: jax.nn.relu(linear(params["enc"], c[..., None]))
         s = enc(s0)
         i = enc(i0)
@@ -138,9 +142,9 @@ class GNODE:
         v = linear(params["dec2"], u)[..., 0]  # [T, B, n, 3]
         return jax.nn.softmax(v, axis=-1)
 
-    def predict(self, params, adj, s0, i0, r0, beta, gamma):
+    def predict(self, params, adj, s0, i0, r0, beta, gamma, *, rng=None, train=False):
         """Probabilities at integer label times: [max_time, B, n, 3]."""
-        probs = self.apply(params, adj, s0, i0, r0, beta, gamma)
+        probs = self.apply(params, adj, s0, i0, r0, beta, gamma, rng=rng, train=train)
         return resample_integer_times(probs, self.max_time, self.delta_t)
 
 

@@ -19,7 +19,12 @@ mesh API leaves room for a 'model' axis but no component requires it.
 
 from gn_ode_sir_tpu.parallel.mesh import data_sharding, make_mesh, replicated_sharding
 from gn_ode_sir_tpu.parallel.sim import simulate_sir_sharded
-from gn_ode_sir_tpu.parallel.spmd import make_spmd_train_step, spmm_edge_sharded
+from gn_ode_sir_tpu.parallel.spmd import (
+    EdgeShardedCooAdj,
+    make_spmd_train_step,
+    make_spmd_train_step_2d,
+    spmm_edge_sharded,
+)
 
 __all__ = [
     "make_mesh",
@@ -27,5 +32,7 @@ __all__ = [
     "replicated_sharding",
     "simulate_sir_sharded",
     "make_spmd_train_step",
+    "make_spmd_train_step_2d",
+    "EdgeShardedCooAdj",
     "spmm_edge_sharded",
 ]

@@ -20,24 +20,86 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 
+import dataclasses
+from functools import partial
+
+import numpy as onp
+
 from gn_ode_sir_tpu.ops.segment import segment_sum
 from gn_ode_sir_tpu.train.loss import l1_sir_loss
+
+
+def _local_spmm(src, dst, w, x, n_nodes):
+    msgs = x[:, src, :] * w[None, :, None]
+    return jax.vmap(
+        lambda m: segment_sum(m, dst, n_nodes, indices_are_sorted=False)
+    )(msgs)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _edge_spmm(axis, n_nodes, src, dst, w, x):
+    return jax.lax.psum(_local_spmm(src, dst, w, x, n_nodes), axis)
+
+
+def _edge_spmm_fwd(axis, n_nodes, src, dst, w, x):
+    return _edge_spmm(axis, n_nodes, src, dst, w, x), (src, dst, w, x)
+
+
+def _edge_spmm_bwd(axis, n_nodes, res, g):
+    """Cotangents are psum-reduced over the edge axis so every upstream
+    (replicated) computation receives the FULL gradient — this is what makes
+    plain ``jax.grad`` of an edge-sharded model correct with no manual
+    gradient reductions anywhere else."""
+    src, dst, w, x = res
+    # d/dx: transpose SpMM over the local edge shard (swap src/dst), psummed.
+    dx_local = _local_spmm(dst, src, w, g, x.shape[1])
+    dx = jax.lax.psum(dx_local, axis)
+    # d/dw: per-local-edge inner product of gathered x and g rows.
+    dw = (x[:, src, :] * g[:, dst, :]).sum(axis=(0, 2))
+    zeros_int = onp.zeros(src.shape, jax.dtypes.float0)
+    return zeros_int, onp.zeros(dst.shape, jax.dtypes.float0), dw, dx
+
+
+_edge_spmm.defvjp(_edge_spmm_fwd, _edge_spmm_bwd)
 
 
 def spmm_edge_sharded(src_local, dst_local, x, n_nodes: int, axis: str = "edge", w_local=None):
     """Edge-sharded SpMM (call inside ``shard_map``).
 
-    Each device owns a contiguous slice of the dst-sorted edge list; ``x``
-    ([B, n, h]) is replicated across the axis. Partial destination sums are
-    psum-reduced so every device returns the full [B, n, h] aggregate.
+    Each device owns a slice of the edge list; ``x`` ([B, n, h]) is
+    replicated across ``axis``. Partial destination sums are psum-reduced so
+    every device returns the full [B, n, h] aggregate, and the custom VJP
+    psums input cotangents so autodiff through it stays replicated.
     """
-    msgs = x[:, src_local, :]
-    if w_local is not None:
-        msgs = msgs * w_local[None, :, None]
-    partial = jax.vmap(
-        lambda m: segment_sum(m, dst_local, n_nodes, indices_are_sorted=True)
-    )(msgs)
-    return jax.lax.psum(partial, axis)
+    if w_local is None:
+        w_local = jnp.ones(src_local.shape, x.dtype)
+    return _edge_spmm(axis, n_nodes, src_local, dst_local, w_local, x)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EdgeShardedCooAdj:
+    """Adjacency pytree over a locally-owned edge shard (use inside shard_map).
+
+    Drop-in for :class:`~gn_ode_sir_tpu.ops.adjacency.CooAdj` — models built
+    on ``adj.matvec`` become edge-parallel without modification.
+    """
+
+    src: jnp.ndarray  # [E_local]
+    dst: jnp.ndarray
+    w: jnp.ndarray
+    n_nodes: int
+    axis: str = "edge"
+
+    def matvec(self, x):
+        return spmm_edge_sharded(self.src, self.dst, x, self.n_nodes, self.axis, self.w)
+
+    def tree_flatten(self):
+        return (self.src, self.dst, self.w), (self.n_nodes, self.axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, n_nodes=aux[0], axis=aux[1])
 
 
 def make_spmd_train_step(model, optimizer, adj_fn, mesh, axis: str = "data") -> Callable:
@@ -80,6 +142,60 @@ def make_spmd_train_step(model, optimizer, adj_fn, mesh, axis: str = "data") -> 
         local_step,
         mesh=mesh,
         in_specs=(P(), P(), batch_specs),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_spmd_train_step_2d(
+    model, optimizer, mesh, n_nodes: int,
+    data_axis: str = "data", edge_axis: str = "edge",
+) -> Callable:
+    """dp x edge-parallel training step over a 2-D mesh.
+
+    The trial batch is sharded over ``data_axis`` and the dst-sorted edge
+    list over ``edge_axis``; message passing runs through
+    :class:`EdgeShardedCooAdj` (psum over ICI inside the ODE function).
+    Gradients are pmean-reduced over ``data_axis`` only — the edge-sharded
+    SpMM's custom VJP already keeps them replicated across ``edge_axis``.
+
+    Batch dict as in :func:`make_spmd_train_step`; edges passed separately
+    as (src [E], dst [E], w [E]) with E divisible by the edge-axis size.
+    """
+
+    def local_step(params, opt_state, batch, src, dst, w):
+        adj = EdgeShardedCooAdj(src, dst, w, n_nodes, edge_axis)
+
+        def loss_fn(p):
+            pred = model.predict(
+                p, adj, batch["s0"], batch["i0"], batch["r0"],
+                batch["beta"], batch["gamma"],
+            )
+            return l1_sir_loss(pred, batch["labels"], trial_weight=batch.get("weight"))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.pmean(grads, data_axis)
+        loss = jax.lax.pmean(loss, data_axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    batch_specs = {
+        "s0": P(data_axis, None),
+        "i0": P(data_axis, None),
+        "r0": P(data_axis, None),
+        "beta": P(data_axis),
+        "gamma": P(data_axis),
+        "weight": P(data_axis),
+        "labels": P(data_axis, None, None, None),
+        "graph_idx": P(data_axis),
+    }
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), batch_specs, P(edge_axis), P(edge_axis), P(edge_axis)),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )

@@ -36,7 +36,7 @@ def _data_to_device(data: TrialData) -> dict:
     }
 
 
-def _batch_loss(model, params, adj_fn, node_mask_fn, d, bidx, bw):
+def _batch_loss(model, params, adj_fn, node_mask_fn, d, bidx, bw, rng=None, train=False):
     gi = d["graph_idx"][bidx]
     adj = adj_fn(gi)
     node_mask = node_mask_fn(gi) if node_mask_fn is not None else None
@@ -48,6 +48,8 @@ def _batch_loss(model, params, adj_fn, node_mask_fn, d, bidx, bw):
         d["r0"][bidx],
         d["beta"][bidx],
         d["gamma"][bidx],
+        rng=rng,
+        train=train,
     )
     loss = l1_sir_loss(pred, d["labels"][bidx], trial_weight=bw, node_mask=node_mask)
     # item count for reference-style weighted aggregation (ode_nn_ngraph_sim.py:248)
@@ -60,13 +62,16 @@ def make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn=None) -> Callable
     """One-jit whole-epoch trainer: scan over minibatch index rows."""
 
     @jax.jit
-    def train_epoch(params, opt_state, d, batch_idx, batch_w):
+    def train_epoch(params, opt_state, d, batch_idx, batch_w, rng_key):
         def step(carry, xs):
             params, opt_state = carry
-            bidx, bw = xs
+            bidx, bw, k = xs
+            rng = jax.random.fold_in(rng_key, k)
 
             def loss_fn(p):
-                loss, items = _batch_loss(model, p, adj_fn, node_mask_fn, d, bidx, bw)
+                loss, items = _batch_loss(
+                    model, p, adj_fn, node_mask_fn, d, bidx, bw, rng=rng, train=True
+                )
                 return loss, items
 
             (loss, items), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -74,8 +79,9 @@ def make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn=None) -> Callable
             params = optax.apply_updates(params, updates)
             return (params, opt_state), (loss * items, items)
 
+        steps = jnp.arange(batch_idx.shape[0])
         (params, opt_state), (loss_sums, item_counts) = jax.lax.scan(
-            step, (params, opt_state), (batch_idx, batch_w)
+            step, (params, opt_state), (batch_idx, batch_w, steps)
         )
         return params, opt_state, loss_sums.sum() / item_counts.sum()
 
@@ -153,11 +159,13 @@ def fit(
     test_time = 0.0
     history, epoch_times = [], []
 
+    base_key = jax.random.PRNGKey(seed + 1)
     for epoch in range(epochs):
         t0 = time.perf_counter()
         bi, bw = epoch_batches(len(train_idx), batch_size, rng)
         bi = np.asarray(train_idx, np.int32)[bi]
-        params, opt_state, train_loss = train_epoch(params, opt_state, d, bi, bw)
+        epoch_key = jax.random.fold_in(base_key, epoch)
+        params, opt_state, train_loss = train_epoch(params, opt_state, d, bi, bw, epoch_key)
         val_loss = float(evaluate(params, d, val_bi, val_bw))
         jax.block_until_ready(val_loss)
         epoch_times.append(time.perf_counter() - t0)
