@@ -90,10 +90,11 @@ def build_worker_argv(cfg: MatrixConfig, dataset, path_to_save, hidden, trial,
         "--deltaT", str(cfg.delta_t), "--maxTime", str(cfg.max_time),
         "--sim", str(cfg.sim), "--trial", str(trial), "--dataset", dataset,
         "--path_to_save", path_to_save, "--model", cfg.model,
-        "--I_indices", *[str(i) for i in i_indices],
-        "--beta", *[str(b) for b in betas],
-        "--gamma", *[str(g) for g in gammas],
     ]
+    if i_indices:
+        argv += ["--I_indices", *[str(i) for i in i_indices]]
+        argv += ["--beta", *[str(b) for b in betas]]
+        argv += ["--gamma", *[str(g) for g in gammas]]
     if cfg.out_of_dist:
         argv.append("--out_of_dist")
     return argv
@@ -107,11 +108,20 @@ def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False) -> int:
     total = len(cfg.datasets_array) * len(cfg.hidden_dim_array)
     for dataset in cfg.datasets_array:
         stem = os.path.basename(dataset)
-        path_to_save = os.path.join(
-            cfg.experiments_root, f"Experiments-seed{cfg.n_i[0]}-{stem}"
-        )
-        os.makedirs(path_to_save, exist_ok=True)
-        i_indices, betas, gammas = _load_or_create_params(cfg, dataset, path_to_save)
+        multigraph = "+" in stem
+        if multigraph:
+            # '+'-joined datasets: per-graph label dirs live directly under the
+            # experiments root (reference layout, ode_nn_ngraphs.py:319-324);
+            # the worker samples/caches per-graph trial params itself.
+            path_to_save = cfg.experiments_root
+            os.makedirs(path_to_save, exist_ok=True)
+            i_indices, betas, gammas = [], [], []
+        else:
+            path_to_save = os.path.join(
+                cfg.experiments_root, f"Experiments-seed{cfg.n_i[0]}-{stem}"
+            )
+            os.makedirs(path_to_save, exist_ok=True)
+            i_indices, betas, gammas = _load_or_create_params(cfg, dataset, path_to_save)
 
         for hidden in cfg.hidden_dim_array:
             if only and proc_num not in only:
@@ -144,11 +154,32 @@ def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False) -> int:
     return 1 if failures else 0
 
 
+def ngraphs_config() -> MatrixConfig:
+    """Multi-graph matrix defaults (``monitorer-ngraphs.py:8-23``).
+
+    Deviation note: the reference names ``epinions`` but ships no
+    ``epinions.pkl`` (SURVEY.md §7 "reference bugs") — the default here ends
+    at wiki-vote; pass the full '+' string explicitly if the pickle exists.
+    """
+    return MatrixConfig(
+        epochs=500,
+        lr=1e-3,
+        batch_size=8,
+        hidden_dim_array=(8, 8, 8, 8),
+        datasets_array=(
+            "./real_graphs/dolphins+fb-food+fb-social+openflights+wiki-vote",
+        ),
+        model="ode_nn",
+    )
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="GN-ODE SIR experiment matrix")
     p.add_argument("--only", nargs="+", type=int, default=[])
     p.add_argument("--subprocess", action="store_true",
                    help="run each experiment in a subprocess (reference behavior)")
+    p.add_argument("--ngraphs", action="store_true",
+                   help="use the multi-graph matrix defaults (monitorer-ngraphs)")
     p.add_argument("--model", default=None)
     p.add_argument("--datasets", nargs="+", default=None)
     p.add_argument("--epochs", type=int, default=None)
@@ -158,7 +189,7 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=None)
     args = p.parse_args(argv)
 
-    cfg = MatrixConfig()
+    cfg = ngraphs_config() if args.ngraphs else MatrixConfig()
     if args.model:
         cfg.model = args.model
     if args.datasets:

@@ -58,6 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rk_baseline", action="store_true", help="also run the RK mean-field baseline")
     p.add_argument("--save_checkpoint", action="store_true", help="save best params via Orbax")
     p.add_argument("--log_every", type=int, default=1)
+    # multi-graph ('+'-joined datasets, reference monitorer-ngraphs path)
+    p.add_argument("--instances_per_graph", type=int, nargs="+", default=None,
+                   help="trials per graph; last graph is the unseen eval graph "
+                        "(reference default [36]*5+[120], monitorer-ngraphs)")
+    # legacy transductive protocol (reference ode_nn.py path)
+    p.add_argument("--node_split", action="store_true",
+                   help="train on a node split of the FIRST trial "
+                        "(legacy ode_nn.py transductive protocol)")
     return p
 
 
@@ -219,10 +227,165 @@ def run_rk(args, g, data, splits):
     return loss, dt
 
 
+def run_multigraph(args):
+    """'+'-joined datasets: train on G-1 graphs, evaluate on the unseen last
+    graph (``ode_nn_ngraphs.py`` / ``gnn_ngraphs.py`` protocol)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gn_ode_sir_tpu.graphs import load_graphs
+    from gn_ode_sir_tpu.models import GCN, GIN, GNODE, TimeUnrolledSIR
+    from gn_ode_sir_tpu.train import (
+        assemble_multigraph_trials,
+        fit,
+        multigraph_adj_fns,
+        multigraph_split,
+    )
+    from gn_ode_sir_tpu.utils.config import ExperimentConfig
+    from gn_ode_sir_tpu.utils.csvsink import save_trial_to_csv
+
+    graphs = load_graphs(args.dataset)
+    names = [g.name for g in graphs]
+    counts = args.instances_per_graph or ([36] * (len(graphs) - 1) + [120])
+    if len(counts) != len(graphs):
+        raise SystemExit("--instances_per_graph must give one count per graph")
+
+    # trial parameters: provided flat via the reference argv encoding, or sampled
+    i_indices = parse_i_indices(args.I_indices) if args.I_indices != ["12"] else None
+    per_graph_params = []
+    rng = np.random.default_rng(args.seed)
+    pos = 0
+    for g_i, g in enumerate(graphs):
+        trials = []
+        for _ in range(counts[g_i]):
+            if i_indices is not None and pos < len(i_indices):
+                trials.append((i_indices[pos], args.beta[pos], args.gamma[pos]))
+            else:
+                trials.append((
+                    [int(x) for x in rng.choice(g.n_nodes, 2, replace=False)],
+                    float(rng.uniform(0.1, 0.5)),
+                    float(rng.uniform(0.1, 0.5)),
+                ))
+            pos += 1
+        per_graph_params.append(trials)
+
+    # per-graph label dirs, reference layout (ode_nn_ngraphs.py:319-324)
+    label_dirs = []
+    for name in names:
+        d = os.path.join(args.path_to_save, f"Experiments-seed2-{name}")
+        os.makedirs(d, exist_ok=True)
+        label_dirs.append(d)
+
+    batch, data = assemble_multigraph_trials(
+        graphs, per_graph_params, label_dirs=label_dirs,
+        sim=args.sim, max_time=args.maxTime,
+        rng_key=jax.random.PRNGKey(args.seed),
+    )
+    print(f"graphs: {names}, padded to n={batch.n_max}, e={batch.e_max}")
+    tr, va, te = multigraph_split(counts)
+
+    if args.model == "ode_nn":
+        model = GNODE(hidden=args.hidden, max_time=args.maxTime, delta_t=args.deltaT,
+                      method=args.method, adjoint=args.adjoint)
+        adj_fn, node_mask_fn = multigraph_adj_fns(batch)
+    elif args.model == "GCN":
+        model = TimeUnrolledSIR(GCN(input_dim=5, hidden_dim=args.hidden,
+                                    penultimate_dim=max(args.hidden // 2, 1),
+                                    window=args.maxTime))
+        adj_fn, node_mask_fn = multigraph_adj_fns(batch, gcn_normalized=True)
+    else:
+        model = TimeUnrolledSIR(GIN(input_dim=5, hidden_dim=args.hidden,
+                                    penultimate_dim=max(args.hidden // 2, 1),
+                                    window=args.maxTime))
+        adj_fn, node_mask_fn = multigraph_adj_fns(batch)
+
+    params = model.init(jax.random.PRNGKey(args.seed))
+    res = fit(
+        model, optax.adam(args.lr), params, data, tr, va, te, adj_fn,
+        epochs=args.epochs, batch_size=args.batch_size, seed=args.seed,
+        node_mask_fn=node_mask_fn, eval_batch_size=args.eval_batch_size,
+        verbose=True, log_every=args.log_every,
+    )
+    cfg = ExperimentConfig(
+        model=args.model, hidden=args.hidden, lr=args.lr, epochs=args.epochs,
+        batch_size=args.batch_size, beta=list(args.beta), gamma=list(args.gamma),
+        i_indices=i_indices or [], delta_t=args.deltaT, max_time=args.maxTime,
+        sim=args.sim, dataset=args.dataset, path_to_save=args.path_to_save,
+        train_val_test_ratio=list(args.train_val_test_ratio), trial=args.trial,
+    )
+    save_trial_to_csv(cfg, "+".join(names), res.best_epoch, res.best_val_loss,
+                      res.test_loss, 0.0, res.test_time, 0.0)
+    print(f"Test Loss (unseen graph {names[-1]}): {res.test_loss:.5f} "
+          f"at epoch: {res.best_epoch:03d}")
+    return 0
+
+
+def run_node_split(args):
+    """Legacy transductive protocol (``ode_nn.py:494-627``): one trial, node
+    split, dense rk4 GN-ODE variant, RK mean-field baseline at the end."""
+    import jax
+    import optax
+
+    from gn_ode_sir_tpu.models.gnode import legacy_dense_gnode
+    from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
+    from gn_ode_sir_tpu.sim import sir_classical
+    from gn_ode_sir_tpu.train.node_split import fit_node_split, node_split_indices
+    from gn_ode_sir_tpu.utils.config import ExperimentConfig
+    from gn_ode_sir_tpu.utils.csvsink import save_trial_to_csv
+
+    g, i_indices, data = load_experiment(args)
+    print(f"nodes {g.n_nodes}\nedges {g.n_edges // 2}")
+    seeds, beta, gamma = i_indices[0], args.beta[0], args.gamma[0]
+    labels = data.labels[0]  # [T, n, 3]
+    idx_train, idx_val, idx_test = node_split_indices(
+        g.n_nodes, tuple(args.train_val_test_ratio)
+    )
+
+    model = legacy_dense_gnode(hidden=args.hidden, max_time=args.maxTime,
+                               delta_t=args.deltaT)
+    params = model.init(jax.random.PRNGKey(args.seed))
+    adj = adjacency_from_graph(g)
+    res = fit_node_split(
+        model, optax.adam(args.lr), params, adj,
+        data.s0[0], data.i0[0], data.r0[0], beta, gamma, labels,
+        idx_train=idx_train, idx_val=idx_val, idx_test=idx_test,
+        epochs=args.epochs, verbose=True, log_every=args.log_every,
+    )
+    print(f"Test Loss: {res.test_loss:.5f} at epoch: {res.best_epoch:03d}")
+
+    # RK mean-field baseline, full + test-split MAE (ode_nn.py:606-622)
+    t0 = time.time()
+    i_t, s_t, r_t = sir_classical(g, seeds, beta, gamma,
+                                  delta_t=args.deltaT, max_time=args.maxTime)
+    pred = np.stack([s_t, i_t, r_t], -1)
+    loss_baseline_full = float(np.abs(pred - labels).mean())
+    rk_time = time.time() - t0
+    loss_baseline = float(np.abs(pred[:, idx_test] - labels[:, idx_test]).mean())
+    print(f"Runge-kutta baseline Loss: {loss_baseline_full:.5f}")
+    print(f"Runge-kutta baseline test Loss: {loss_baseline:.5f}")
+
+    cfg = ExperimentConfig(
+        model=args.model, hidden=args.hidden, lr=args.lr, epochs=args.epochs,
+        batch_size=args.batch_size, beta=list(args.beta), gamma=list(args.gamma),
+        i_indices=i_indices, delta_t=args.deltaT, max_time=args.maxTime,
+        sim=args.sim, dataset=args.dataset, path_to_save=args.path_to_save,
+        train_val_test_ratio=list(args.train_val_test_ratio), trial=args.trial,
+    )
+    save_trial_to_csv(cfg, g.name, res.best_epoch, res.best_val_loss,
+                      res.test_loss, loss_baseline, res.test_time, rk_time)
+    return 0
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from gn_ode_sir_tpu.utils.config import ExperimentConfig
     from gn_ode_sir_tpu.utils.csvsink import csv_trials, save_trial_to_csv
+
+    if "+" in os.path.basename(args.dataset):
+        return run_multigraph(args)
+    if args.node_split:
+        return run_node_split(args)
 
     g, i_indices, data = load_experiment(args)
     print(f"nodes {g.n_nodes}\nedges {g.n_edges // 2}")

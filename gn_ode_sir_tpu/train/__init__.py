@@ -17,6 +17,11 @@ from gn_ode_sir_tpu.train.data import (
 )
 from gn_ode_sir_tpu.train.loop import FitResult, fit, make_eval_fn, make_train_epoch_fn
 from gn_ode_sir_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from gn_ode_sir_tpu.train.multigraph import (
+    assemble_multigraph_trials,
+    multigraph_adj_fns,
+    multigraph_split,
+)
 
 __all__ = [
     "l1_sir_loss",
@@ -31,4 +36,7 @@ __all__ = [
     "make_train_epoch_fn",
     "save_checkpoint",
     "restore_checkpoint",
+    "assemble_multigraph_trials",
+    "multigraph_adj_fns",
+    "multigraph_split",
 ]

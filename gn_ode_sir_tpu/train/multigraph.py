@@ -1,0 +1,147 @@
+"""Multi-graph experiment assembly (the ``ode_nn_ngraphs``/``gnn_ngraphs`` path).
+
+The reference trains one model across graphs of different sizes by
+concatenating ragged node tensors (``ode_nn_ngraphs.py:179-196``) and
+rebuilding a block-diagonal scipy adjacency inside every ODE function
+evaluation (``:65-73``), with the graph id smuggled through feature column 2
+(``:55``). Here every graph is padded once to (n_max, e_max); a trial carries
+an explicit ``graph_idx``, and per-batch connectivity is a pure device gather
+— the same ``fit`` engine serves single- and multi-graph experiments.
+
+Split protocol reproduced from ``ode_nn_ngraphs.py:311-313,347-356`` /
+``gnn_ngraphs.py:226-228,264-273``: all trials of the first G-1 graphs train;
+the last graph's trials split half val / half test (reference:
+``instances_per_graph=[36x5, 120]`` -> 180 train / 60 val / 60 test), so
+evaluation measures transfer to an UNSEEN graph.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from gn_ode_sir_tpu.graphs import GraphBatch, pad_graphs
+from gn_ode_sir_tpu.ops.adjacency import CooAdj
+from gn_ode_sir_tpu.train.data import TrialData, build_trial_data
+
+
+def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False):
+    """(adj_fn, node_mask_fn) closures for :func:`gn_ode_sir_tpu.train.fit`.
+
+    Both take the per-batch ``graph_idx`` array and gather the padded edge
+    rows / node masks on device — zero host work under jit.
+    """
+    if gcn_normalized:
+        src, dst, w = _normalized_edges(batch)
+    else:
+        src, dst, w = batch.src, batch.dst, batch.edge_w
+    src_d = jnp.asarray(src)
+    dst_d = jnp.asarray(dst)
+    w_d = jnp.asarray(w)
+    mask_d = jnp.asarray(batch.node_mask)
+    n_max = batch.n_max
+
+    def adj_fn(graph_idx):
+        return CooAdj(src_d[graph_idx], dst_d[graph_idx], w_d[graph_idx], n_max)
+
+    def node_mask_fn(graph_idx):
+        return mask_d[graph_idx]
+
+    return adj_fn, node_mask_fn
+
+
+def _normalized_edges(batch: GraphBatch):
+    """Per-graph GCN-normalized padded edges (self-loops on real nodes)."""
+    G, e_max = batch.src.shape
+    n_max = batch.n_max
+    e_norm = e_max + n_max  # room for self-loops
+    src = np.zeros((G, e_norm), np.int32)
+    dst = np.zeros((G, e_norm), np.int32)
+    w = np.zeros((G, e_norm), np.float32)
+    for g in range(G):
+        e = int(batch.n_edges[g])
+        n = int(batch.n_nodes[g])
+        s = np.concatenate([batch.src[g, :e], np.arange(n, dtype=np.int32)])
+        d = np.concatenate([batch.dst[g, :e], np.arange(n, dtype=np.int32)])
+        deg = np.bincount(d, minlength=n_max).astype(np.float32)
+        dinv = np.zeros(n_max, np.float32)
+        dinv[:n] = 1.0 / np.sqrt(np.maximum(deg[:n], 1.0))
+        ww = dinv[s] * dinv[d]
+        order = np.lexsort((s, d))
+        src[g, : e + n] = s[order]
+        dst[g, : e + n] = d[order]
+        w[g, : e + n] = ww[order]
+    return src, dst, w
+
+
+def multigraph_split(instances_per_graph, eval_graph: int = -1):
+    """(train_idx, val_idx, test_idx) with the reference's unseen-graph
+    protocol: every trial of the non-eval graphs trains; the eval graph's
+    trials split first-half val / second-half test."""
+    counts = list(instances_per_graph)
+    G = len(counts)
+    eval_graph = eval_graph % G
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    train, val, test = [], [], []
+    for g in range(G):
+        idx = np.arange(offsets[g], offsets[g + 1])
+        if g == eval_graph:
+            half = len(idx) // 2
+            val.extend(idx[:half])
+            test.extend(idx[half:])
+        else:
+            train.extend(idx)
+    return np.asarray(train), np.asarray(val), np.asarray(test)
+
+
+def assemble_multigraph_trials(
+    graphs,
+    per_graph_params,
+    *,
+    label_dirs=None,
+    sim: int = 10000,
+    max_time: int = 20,
+    node_multiple: int = 8,
+    edge_multiple: int = 128,
+    rng_key=None,
+):
+    """Build (GraphBatch, TrialData) for a multi-graph experiment.
+
+    Args:
+      graphs: list of :class:`~gn_ode_sir_tpu.graphs.Graph`.
+      per_graph_params: per graph, a list of (seed_set, beta, gamma) trials.
+      label_dirs: optional per-graph label-cache dirs (reference layout:
+        ``Experiments-seed<k>-<graph>``); missing labels are extracted on
+        device with the vectorized simulator.
+    """
+    import jax
+
+    from gn_ode_sir_tpu.utils import load_or_extract_labels
+
+    batch = pad_graphs(graphs, node_multiple, edge_multiple)
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+
+    seed_sets, betas, gammas, triples, graph_idx = [], [], [], [], []
+    for g_i, (graph, params) in enumerate(zip(graphs, per_graph_params)):
+        save_dir = label_dirs[g_i] if label_dirs else None
+        for t_i, (seeds, beta, gamma) in enumerate(params):
+            triples.append(
+                load_or_extract_labels(
+                    graph, seeds, beta, gamma, sim=sim, max_time=max_time,
+                    save_dir=save_dir,
+                    key=jax.random.fold_in(rng_key, g_i * 100003 + t_i),
+                )
+            )
+            seed_sets.append(seeds)
+            betas.append(beta)
+            gammas.append(gamma)
+            graph_idx.append(g_i)
+
+    data = build_trial_data(
+        batch.n_max, seed_sets, betas, gammas, triples,
+        graph_idx=graph_idx, n_pad=batch.n_max,
+    )
+    return batch, data
