@@ -80,23 +80,36 @@ def graph_from_edges(n_nodes: int, undirected_edges, name: str = "graph") -> Gra
     """Build a :class:`Graph` from an iterable of undirected (u, v) pairs.
 
     Self-loops are kept as a single directed edge; duplicate undirected edges
-    are deduplicated (networkx Graph semantics).
+    are deduplicated (networkx Graph semantics). Uses the native C++ core
+    (:mod:`gn_ode_sir_tpu.native`) when available, numpy otherwise.
     """
-    seen = set()
-    for u, v in undirected_edges:
-        u, v = int(u), int(v)
-        seen.add((u, v) if u <= v else (v, u))
-    src, dst = [], []
-    for u, v in seen:
-        src.append(u)
-        dst.append(v)
-        if u != v:
-            src.append(v)
-            dst.append(u)
-    src = np.asarray(src, dtype=np.int32)
-    dst = np.asarray(dst, dtype=np.int32)
+    pairs = np.asarray(
+        [(int(u), int(v)) for u, v in undirected_edges], dtype=np.int32
+    ).reshape(-1, 2)
+
+    from gn_ode_sir_tpu import native
+
+    out = native.coalesce_undirected(pairs, n_nodes)
+    if out is not None:
+        src, dst = out
+        return Graph(n_nodes=n_nodes, src=src, dst=dst, name=name)
+
+    # numpy fallback: canonical-code dedup, symmetrize, (dst, src) sort
+    n = int(n_nodes)
+    a = np.minimum(pairs[:, 0], pairs[:, 1]).astype(np.int64)
+    b = np.maximum(pairs[:, 0], pairs[:, 1]).astype(np.int64)
+    codes = np.unique(a * n + b)
+    ca, cb = codes // n, codes % n
+    loops = ca == cb
+    src = np.concatenate([ca, cb[~loops]])
+    dst = np.concatenate([cb, ca[~loops]])
     order = np.lexsort((src, dst))  # sort by dst, then src
-    return Graph(n_nodes=n_nodes, src=src[order], dst=dst[order], name=name)
+    return Graph(
+        n_nodes=n_nodes,
+        src=src[order].astype(np.int32),
+        dst=dst[order].astype(np.int32),
+        name=name,
+    )
 
 
 def graph_from_networkx(G, name: str = "graph") -> Graph:

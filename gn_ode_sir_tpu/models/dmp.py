@@ -38,6 +38,13 @@ def cave_index(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     dst = np.asarray(dst, dtype=np.int64)
     E = src.shape[0]
     n = int(max(src.max(initial=0), dst.max(initial=0))) + 1 if E else 1
+
+    from gn_ode_sir_tpu import native
+
+    out = native.reverse_edge_index(src, dst, n)
+    if out is not None:
+        return out
+
     code = src * n + dst
     rev_code = dst * n + src
     order = np.argsort(code)

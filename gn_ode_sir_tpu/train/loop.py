@@ -133,6 +133,9 @@ def fit(
     eval_batch_size: int | None = None,
     verbose: bool = True,
     log_every: int = 50,
+    metrics_logger=None,
+    profile_dir: str | None = None,
+    profile_epochs: tuple = (2, 4),
 ) -> FitResult:
     """Full training protocol over a trial dataset.
 
@@ -160,7 +163,11 @@ def fit(
     history, epoch_times = [], []
 
     base_key = jax.random.PRNGKey(seed + 1)
+    profiling = False
     for epoch in range(epochs):
+        if profile_dir is not None and epoch == profile_epochs[0]:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         t0 = time.perf_counter()
         bi, bw = epoch_batches(len(train_idx), batch_size, rng)
         bi = np.asarray(train_idx, np.int32)[bi]
@@ -171,6 +178,14 @@ def fit(
         epoch_times.append(time.perf_counter() - t0)
         train_loss = float(train_loss)
         history.append((epoch, train_loss, val_loss))
+        if profiling and epoch >= profile_epochs[1]:
+            jax.profiler.stop_trace()
+            profiling = False
+        if metrics_logger is not None:
+            metrics_logger.log(
+                epoch=epoch, train_loss=train_loss, val_loss=val_loss,
+                epoch_s=epoch_times[-1],
+            )
 
         if val_loss < best_val:
             best_val = val_loss
@@ -184,6 +199,8 @@ def fit(
                 f"Val Loss: {val_loss:.10f} ({epoch_times[-1]:.3f}s)"
             )
 
+    if profiling:
+        jax.profiler.stop_trace()
     return FitResult(
         params=params,
         opt_state=opt_state,

@@ -4,8 +4,12 @@ from gn_ode_sir_tpu.utils.config import ExperimentConfig
 from gn_ode_sir_tpu.utils.labels import label_paths, load_labels, load_or_extract_labels
 from gn_ode_sir_tpu.utils.csvsink import csv_trials, save_trial_to_csv
 from gn_ode_sir_tpu.utils.timing import Timer
+from gn_ode_sir_tpu.utils.profiling import MetricsLogger, device_memory_stats, trace
 
 __all__ = [
+    "MetricsLogger",
+    "device_memory_stats",
+    "trace",
     "ExperimentConfig",
     "label_paths",
     "load_labels",
