@@ -24,14 +24,20 @@ from gn_ode_sir_tpu.ops.segment import segment_sum
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DenseAdj:
-    """Dense adjacency [n, n] (shared) or [B, n, n] (per-sample)."""
+    """Dense adjacency [n, n] (shared) or [B, n, n] (per-sample).
+
+    Store ``a`` in bfloat16 (exact for a {0,1} adjacency) to halve the HBM
+    traffic of the matmul — activations are cast to match and the MXU
+    accumulates in f32 (``adjacency_from_graph(..., dtype=jnp.bfloat16)``).
+    """
 
     a: jnp.ndarray
 
     def matvec(self, x):
+        xm = x.astype(self.a.dtype) if self.a.dtype == jnp.bfloat16 else x
         if self.a.ndim == 2:
-            return jnp.einsum("ij,bjh->bih", self.a, x, preferred_element_type=jnp.float32)
-        return jnp.einsum("bij,bjh->bih", self.a, x, preferred_element_type=jnp.float32)
+            return jnp.einsum("ij,bjh->bih", self.a, xm, preferred_element_type=jnp.float32)
+        return jnp.einsum("bij,bjh->bih", self.a, xm, preferred_element_type=jnp.float32)
 
     def tree_flatten(self):
         return (self.a,), None
@@ -79,14 +85,18 @@ class CooAdj:
         return cls(*children, n_nodes=aux)
 
 
-def adjacency_from_graph(graph, *, prefer_dense: bool | None = None):
-    """Build the right adjacency pytree for a host-side Graph."""
+def adjacency_from_graph(graph, *, prefer_dense: bool | None = None, dtype=None):
+    """Build the right adjacency pytree for a host-side Graph.
+
+    ``dtype=jnp.bfloat16`` halves dense-path HBM traffic (exact {0,1}
+    adjacency; activations round to bf16 inside the matmul).
+    """
     from gn_ode_sir_tpu.ops.spmm import DENSE_NODE_THRESHOLD
 
     if prefer_dense is None:
         prefer_dense = graph.n_nodes <= DENSE_NODE_THRESHOLD
     if prefer_dense:
-        return DenseAdj(jnp.asarray(graph.dense_adjacency))
+        return DenseAdj(jnp.asarray(graph.dense_adjacency, dtype or jnp.float32))
     return CooAdj(
         jnp.asarray(graph.src), jnp.asarray(graph.dst), None, graph.n_nodes
     )

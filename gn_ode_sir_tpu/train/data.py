@@ -86,6 +86,47 @@ def split_indices(n_trials: int, ratios=(0.6, 0.2, 0.2)):
     return idx[:b1], idx[b1:b2], idx[b2:]
 
 
+def make_out_of_dist_split(
+    gammas,
+    n_bins: int = 4,
+    n_train: int | None = None,
+    n_val: int | None = None,
+    seed: int = 0,
+):
+    """Generate a gamma-binned out-of-distribution split dict.
+
+    Reverse-engineered from the shipped ``out-of-dist-gamma.pkl`` fixture
+    (verified on Experiments-seed2-karate): a ``n_bins``-bin histogram over
+    the trial gammas; TRAIN draws only from the middle bins (in-distribution
+    range), while val/test absorb the extreme bins plus the leftover middle
+    trials — so test mostly probes gammas the model never saw.
+    Schema matches the fixture: keys train/val/test/test-in-dist/counts/bins.
+    """
+    gammas = np.asarray(gammas)
+    n = len(gammas)
+    counts, bins = np.histogram(gammas, bins=n_bins)
+    lo, hi = bins[1], bins[n_bins - 1]  # middle-bin range
+    in_dist = np.where((gammas >= lo) & (gammas < hi))[0]
+    out_dist = np.setdiff1d(np.arange(n), in_dist)
+
+    rng = np.random.default_rng(seed)
+    n_train = n_train if n_train is not None else int(0.4 * n)
+    n_val = n_val if n_val is not None else int(0.2 * n)
+    in_dist = rng.permutation(in_dist)
+    train = in_dist[:n_train]
+    rest = rng.permutation(np.concatenate([in_dist[n_train:], out_dist]))
+    val = rest[:n_val]
+    test = rest[n_val:]
+    return {
+        "train": set(int(i) for i in train),
+        "val": set(int(i) for i in val),
+        "test": set(int(i) for i in test),
+        "test-in-dist": set(int(i) for i in test if lo <= gammas[i] < hi),
+        "counts": counts,
+        "bins": bins,
+    }
+
+
 def out_of_dist_split(path: str):
     """Load the gamma-binned out-of-distribution split dict
     (``out-of-dist-gamma.pkl``: keys train/val/test/..., ``ode_nn_ngraph_sim.py:400``).

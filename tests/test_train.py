@@ -117,6 +117,23 @@ def test_csv_sink_schema(tmp_path):
     assert len(rows) == 3
 
 
+def test_make_out_of_dist_split_semantics():
+    from gn_ode_sir_tpu.train import make_out_of_dist_split
+
+    rng = np.random.default_rng(0)
+    gammas = rng.uniform(0.1, 0.5, 200)
+    d = make_out_of_dist_split(gammas, n_train=80, n_val=40, seed=1)
+    assert len(d["train"]) == 80 and len(d["val"]) == 40 and len(d["test"]) == 80
+    assert not (d["train"] & d["val"]) and not (d["train"] & d["test"])
+    # train gammas confined to the middle histogram bins
+    _, bins = np.histogram(gammas, bins=4)
+    tr = np.array(sorted(d["train"]))
+    assert gammas[tr].min() >= bins[1] and gammas[tr].max() < bins[3]
+    # fixture schema
+    assert set(d) == {"train", "val", "test", "test-in-dist", "counts", "bins"}
+    assert d["test-in-dist"] <= d["test"]
+
+
 def test_out_of_dist_split(karate_fixture_dir):
     from gn_ode_sir_tpu.train import out_of_dist_split
 
