@@ -325,10 +325,13 @@ def run_node_split(args):
     """Legacy transductive protocol (``ode_nn.py:494-627``): one trial, node
     split, dense rk4 GN-ODE variant, RK mean-field baseline at the end."""
     import jax
+    import jax.numpy as jnp
     import optax
 
+    from gn_ode_sir_tpu.models import GCN, GIN, TimeUnrolledSIR
     from gn_ode_sir_tpu.models.gnode import legacy_dense_gnode
-    from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
+    from gn_ode_sir_tpu.ops import gcn_norm_edges
+    from gn_ode_sir_tpu.ops.adjacency import CooAdj, adjacency_from_graph
     from gn_ode_sir_tpu.sim import sir_classical
     from gn_ode_sir_tpu.train.node_split import fit_node_split, node_split_indices
     from gn_ode_sir_tpu.utils.config import ExperimentConfig
@@ -342,10 +345,27 @@ def run_node_split(args):
         g.n_nodes, tuple(args.train_val_test_ratio)
     )
 
-    model = legacy_dense_gnode(hidden=args.hidden, max_time=args.maxTime,
-                               delta_t=args.deltaT)
+    if args.model == "ode_nn":
+        model = legacy_dense_gnode(hidden=args.hidden, max_time=args.maxTime,
+                                   delta_t=args.deltaT)
+        adj = adjacency_from_graph(g)
+    elif args.model == "GCN":
+        # legacy 3-feature GCN (models.py:6-48, used at ode_nn.py:557-558)
+        model = TimeUnrolledSIR(
+            GCN(input_dim=3, hidden_dim=args.hidden,
+                penultimate_dim=max(args.hidden // 2, 1), window=args.maxTime),
+            with_rates=False,
+        )
+        src, dst, w = gcn_norm_edges(g)
+        adj = CooAdj(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), g.n_nodes)
+    else:
+        model = TimeUnrolledSIR(
+            GIN(input_dim=3, hidden_dim=args.hidden,
+                penultimate_dim=max(args.hidden // 2, 1), window=args.maxTime),
+            with_rates=False,
+        )
+        adj = adjacency_from_graph(g, prefer_dense=False)
     params = model.init(jax.random.PRNGKey(args.seed))
-    adj = adjacency_from_graph(g)
     res = fit_node_split(
         model, optax.adam(args.lr), params, adj,
         data.s0[0], data.i0[0], data.r0[0], beta, gamma, labels,

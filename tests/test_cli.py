@@ -1,0 +1,75 @@
+"""CLI smoke tests: worker model families + monitorer matrix, tiny configs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gn_ode_sir_tpu.cli import monitorer, worker
+
+KARATE = "/root/reference/real_graphs/karate"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(KARATE + ".pkl"), reason="reference graphs unavailable"
+)
+
+
+def _base_argv(tmp_path, model="ode_nn", extra=()):
+    return [
+        "--dataset", KARATE, "--model", model, "--hidden", "8",
+        "--epochs", "2", "--lr", "1e-3", "--batch_size", "4",
+        "--sim", "100", "--maxTime", "8",
+        "--I_indices", "[25, 18]", "[1, 27]", "[16, 27]", "[4, 9]", "[2, 30]",
+        "--beta", "0.47", "0.26", "0.23", "0.3", "0.41",
+        "--gamma", "0.31", "0.33", "0.2", "0.25", "0.44",
+        "--path_to_save", str(tmp_path), "--log_every", "10", *extra,
+    ]
+
+
+def test_parse_i_indices_forms():
+    assert worker.parse_i_indices(["[25, 18]", "3", "1,2"]) == [[25, 18], [3], [1, 2]]
+
+
+@pytest.mark.parametrize("model", ["ode_nn", "GCN", "GIN", "dmp", "rk"])
+def test_worker_all_model_families(tmp_path, model):
+    rc = worker.main(_base_argv(tmp_path, model))
+    assert rc == 0
+    csv = tmp_path / "Metrics-trials-karate"
+    assert csv.exists()
+    # label cache + trial params persisted (reference contract)
+    assert (tmp_path / "initial-seed.pkl").exists()
+    assert any(p.name.startswith("karate-S-") for p in tmp_path.iterdir())
+
+
+def test_worker_node_split(tmp_path):
+    rc = worker.main(_base_argv(tmp_path, "ode_nn", extra=["--node_split"]))
+    assert rc == 0
+
+
+def test_worker_multigraph(tmp_path):
+    argv = [
+        "--dataset", "/root/reference/real_graphs/karate+dolphins",
+        "--model", "ode_nn", "--hidden", "8", "--epochs", "2", "--lr", "1e-3",
+        "--batch_size", "4", "--sim", "100", "--maxTime", "8",
+        "--instances_per_graph", "4", "6",
+        "--path_to_save", str(tmp_path), "--log_every", "10", "--seed", "1",
+    ]
+    rc = worker.main(argv)
+    assert rc == 0
+    assert (tmp_path / "Experiments-seed2-dolphins").is_dir()
+    assert (tmp_path / "Metrics-trials-karate+dolphins").exists()
+
+
+def test_monitorer_matrix(tmp_path):
+    cfg = monitorer.MatrixConfig(
+        epochs=1, trials_per_number=3, hidden_dim_array=(8,),
+        datasets_array=(KARATE,), sim=100, max_time=8, batch_size=2,
+        experiments_root=str(tmp_path), seed=7,
+    )
+    rc = monitorer.run_matrix(cfg)
+    assert rc == 0
+    exp = tmp_path / "Experiments-seed2-karate"
+    assert (exp / "initial-seed.pkl").exists()
+    # rerun reloads persisted params (no resample) and --only filter works
+    rc = monitorer.run_matrix(cfg, only=(1,))
+    assert rc == 0
