@@ -66,7 +66,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--node_split", action="store_true",
                    help="train on a node split of the FIRST trial "
                         "(legacy ode_nn.py transductive protocol)")
+    # performance knobs
+    p.add_argument("--spmm", default="auto", choices=["auto", "dense", "coo", "ell"],
+                   help="message-passing backend for GN-ODE")
+    p.add_argument("--coins", default="bits16", choices=["bits16", "bits32", "uniform"],
+                   help="MC simulator coin generation mode")
+    p.add_argument("--sims_chunk", type=int, default=None,
+                   help="MC simulator chunk size (HBM control for huge graphs)")
     return p
+
+
+def _gnode_adjacency(args, g):
+    from gn_ode_sir_tpu.ops import EllAdj
+    from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
+
+    if args.spmm == "auto":
+        return adjacency_from_graph(g)
+    if args.spmm == "ell":
+        return EllAdj.from_graph(g)
+    return adjacency_from_graph(g, prefer_dense=(args.spmm == "dense"))
 
 
 def load_experiment(args):
@@ -104,6 +122,8 @@ def load_experiment(args):
                 max_time=args.maxTime,
                 save_dir=args.path_to_save,
                 key=jax.random.PRNGKey(1000 + k),
+                sims_chunk=args.sims_chunk,
+                coins=args.coins,
             )
         )
     data = build_trial_data(g.n_nodes, i_indices, args.beta, args.gamma, triples)
@@ -143,7 +163,7 @@ def run_trainable(args, g, data, splits):
             method=args.method,
             adjoint=args.adjoint,
         )
-        adj = adjacency_from_graph(g)
+        adj = _gnode_adjacency(args, g)
     elif args.model == "GCN":
         model = TimeUnrolledSIR(
             GCN(input_dim=5, hidden_dim=args.hidden,

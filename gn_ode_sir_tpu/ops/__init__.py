@@ -22,6 +22,7 @@ from gn_ode_sir_tpu.ops.spmm import (
     spmm_dense,
 )
 from gn_ode_sir_tpu.ops.pallas_spmm import spmm_pallas, row_offsets_from_sorted_dst
+from gn_ode_sir_tpu.ops.ell import EllAdj, build_ell_buckets
 
 __all__ = [
     "segment_sum",
@@ -34,5 +35,7 @@ __all__ = [
     "spmm_pallas",
     "row_offsets_from_sorted_dst",
     "gcn_norm_edges",
+    "EllAdj",
+    "build_ell_buckets",
     "DENSE_NODE_THRESHOLD",
 ]

@@ -1,0 +1,111 @@
+"""Bucketed-ELL SpMM: scatter-free message passing for large power-law graphs.
+
+The COO path's weakness on TPU is the scatter (segment-sum) — measured 12x
+slower than the dense MXU path on wiki-vote. This formulation removes the
+scatter entirely:
+
+- nodes are sorted by degree and grouped into buckets whose padded neighbor
+  width K is the next power of two of the bucket's max degree, so total
+  gather work is <= 2E regardless of degree skew;
+- each bucket is a dense [n_b, K] neighbor-index matrix (padding indices
+  point at a zero row appended to the features);
+- aggregation = gather [B, n_b, K, h] + sum over K — pure gathers and
+  reductions, both TPU-friendly;
+- results come back to original node order with one inverse-permutation
+  gather.
+
+Built once per graph on the host (CSR from the native core when available).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _next_pow2(x: int) -> int:
+    return 1 if x <= 1 else 1 << (int(x - 1).bit_length())
+
+
+def build_ell_buckets(graph, max_buckets: int = 10):
+    """Host-side bucket construction. Returns (bucket_idx_list, inv_perm).
+
+    bucket_idx_list: list of int32 [n_b, K_b] neighbor matrices (sorted-node
+    order, padding = n_nodes); inv_perm: int32 [n] mapping original node id
+    -> row in the concatenated bucket output.
+    """
+    n = graph.n_nodes
+    deg = graph.degrees
+    # CSR over dst-sorted edges: node u's in-neighbors are src[off[u]:off[u+1]]
+    from gn_ode_sir_tpu.ops.pallas_spmm import row_offsets_from_sorted_dst
+
+    offsets = row_offsets_from_sorted_dst(graph.dst, n)
+    order = np.argsort(-deg, kind="stable").astype(np.int32)  # degree desc
+    ks = np.array([_next_pow2(int(deg[u])) for u in order], np.int64)
+
+    # group consecutive sorted nodes sharing the same padded width
+    buckets = []
+    start = 0
+    while start < n:
+        k = ks[start]
+        end = start
+        while end < n and ks[end] == k:
+            end += 1
+        # cap the number of buckets by merging the smallest widths
+        buckets.append((start, end, int(k)))
+        start = end
+    while len(buckets) > max_buckets:
+        # merge the two smallest-width trailing buckets (low-degree nodes)
+        s0, e0, k0 = buckets[-2]
+        s1, e1, k1 = buckets[-1]
+        buckets = buckets[:-2] + [(s0, e1, max(k0, k1))]
+
+    bucket_idx = []
+    for s, e, k in buckets:
+        k = max(k, 1)
+        idx = np.full((e - s, k), n, np.int32)  # pad -> zero row
+        for row, u in enumerate(order[s:e]):
+            lo, hi = offsets[u], offsets[u + 1]
+            idx[row, : hi - lo] = graph.src[lo:hi]
+        bucket_idx.append(idx)
+
+    inv_perm = np.empty(n, np.int32)
+    inv_perm[order] = np.arange(n, dtype=np.int32)
+    return bucket_idx, inv_perm
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EllAdj:
+    """Bucketed-ELL adjacency pytree (unweighted {0,1} graph)."""
+
+    bucket_idx: tuple  # of int32 [n_b, K_b]
+    inv_perm: jnp.ndarray  # [n]
+    n_nodes: int
+
+    @classmethod
+    def from_graph(cls, graph, max_buckets: int = 10) -> "EllAdj":
+        idx_list, inv_perm = build_ell_buckets(graph, max_buckets)
+        return cls(
+            bucket_idx=tuple(jnp.asarray(i) for i in idx_list),
+            inv_perm=jnp.asarray(inv_perm),
+            n_nodes=graph.n_nodes,
+        )
+
+    def matvec(self, x):
+        """x: [B, n, h] -> [B, n, h] = A @ x per batch element."""
+        B, n, h = x.shape
+        xp = jnp.concatenate([x, jnp.zeros((B, 1, h), x.dtype)], axis=1)
+        outs = [xp[:, idx, :].sum(axis=2) for idx in self.bucket_idx]
+        out_sorted = jnp.concatenate(outs, axis=1)
+        return out_sorted[:, self.inv_perm, :]
+
+    def tree_flatten(self):
+        return (self.bucket_idx, self.inv_perm), self.n_nodes
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(bucket_idx=children[0], inv_perm=children[1], n_nodes=aux)

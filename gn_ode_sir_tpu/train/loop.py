@@ -136,6 +136,9 @@ def fit(
     metrics_logger=None,
     profile_dir: str | None = None,
     profile_epochs: tuple = (2, 4),
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> FitResult:
     """Full training protocol over a trial dataset.
 
@@ -161,10 +164,39 @@ def fit(
     test_loss = float("nan")
     test_time = 0.0
     history, epoch_times = [], []
+    start_epoch = 0
+
+    if checkpoint_dir and resume:
+        import os
+
+        from gn_ode_sir_tpu.train.checkpoint import restore_checkpoint
+
+        if os.path.isdir(os.path.join(checkpoint_dir, "state")):
+            target = {
+                "params": params, "opt_state": opt_state, "epoch": 0,
+                "best_val": 0.0, "best_epoch": 0, "test_loss": 0.0,
+            }
+            st = restore_checkpoint(checkpoint_dir, target)
+            params, opt_state = st["params"], st["opt_state"]
+            start_epoch = int(st["epoch"]) + 1
+            best_val = float(st["best_val"])
+            best_epoch = int(st["best_epoch"])
+            test_loss = float(st["test_loss"])
+            if verbose:
+                print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
+
+    def _save(epoch):
+        from gn_ode_sir_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(checkpoint_dir, {
+            "params": params, "opt_state": opt_state, "epoch": epoch,
+            "best_val": best_val, "best_epoch": best_epoch,
+            "test_loss": 0.0 if test_loss != test_loss else test_loss,
+        })
 
     base_key = jax.random.PRNGKey(seed + 1)
     profiling = False
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         if profile_dir is not None and epoch == profile_epochs[0]:
             jax.profiler.start_trace(profile_dir)
             profiling = True
@@ -198,9 +230,13 @@ def fit(
                 f"Epoch: {epoch:03d}, Train Loss: {train_loss:.10f}, "
                 f"Val Loss: {val_loss:.10f} ({epoch_times[-1]:.3f}s)"
             )
+        if checkpoint_dir and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
+            _save(epoch)
 
     if profiling:
         jax.profiler.stop_trace()
+    if checkpoint_dir and epochs > start_epoch:
+        _save(epochs - 1)
     return FitResult(
         params=params,
         opt_state=opt_state,

@@ -54,6 +54,7 @@ def load_or_extract_labels(
     save_dir: str | None = None,
     key=None,
     sims_chunk: int | None = None,
+    coins: str = "bits16",
 ):
     """Cache-or-simulate, mirroring ``load_SIR_labels`` in every driver."""
     if save_dir is not None:
@@ -72,6 +73,7 @@ def load_or_extract_labels(
         max_time=max_time,
         key=key,
         sims_chunk=sims_chunk,
+        coins=coins,
     )
     if save_dir is not None:
         os.makedirs(save_dir, exist_ok=True)

@@ -91,6 +91,44 @@ def test_pallas_spmm_interpret(random_graph):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_ell_adjacency_exact(random_graph):
+    """Bucketed-ELL matvec == dense matvec exactly; work ratio bounded."""
+    from gn_ode_sir_tpu.ops import EllAdj
+
+    g = random_graph
+    ell = EllAdj.from_graph(g)
+    work = sum(int(np.prod(i.shape)) for i in ell.bucket_idx)
+    assert work <= 2 * g.n_edges + 2 * g.n_nodes  # pow2 padding bound
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((2, g.n_nodes, 8)), jnp.float32)
+    dense = adjacency_from_graph(g, prefer_dense=True)
+    np.testing.assert_allclose(
+        np.asarray(ell.matvec(x)), np.asarray(dense.matvec(x)), rtol=1e-5, atol=1e-5
+    )
+    # jit + grad flow through the pytree
+    f = jax.jit(lambda a, x: a.matvec(x).sum())
+    gr = jax.grad(lambda x: f(ell, x))(x)
+    assert np.isfinite(np.asarray(gr)).all()
+
+
+def test_ell_in_gnode(random_graph):
+    """GNODE forward with EllAdj == with DenseAdj."""
+    from gn_ode_sir_tpu.models import GNODE
+    from gn_ode_sir_tpu.ops import EllAdj
+
+    g = random_graph
+    model = GNODE(hidden=8, max_time=6)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(12)
+    i0 = np.zeros((2, g.n_nodes), np.float32)
+    i0[:, :2] = 1
+    args = (jnp.asarray(1 - i0), jnp.asarray(i0), jnp.zeros((2, g.n_nodes)),
+            jnp.asarray([0.3, 0.2]), jnp.asarray([0.1, 0.4]))
+    a = model.predict(params, EllAdj.from_graph(g), *args)
+    b = model.predict(params, adjacency_from_graph(g, prefer_dense=True), *args)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_adjacency_pytrees_jit(random_graph):
     g = random_graph
     rng = np.random.default_rng(6)

@@ -99,6 +99,40 @@ def test_fit_end_to_end(random_graph, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fit_checkpoint_resume(random_graph, tmp_path):
+    """Interrupted fit resumes from checkpoint and continues to completion."""
+    from gn_ode_sir_tpu.sim import sir_classical
+
+    g = random_graph
+    rng = np.random.default_rng(1)
+    N, T = 8, 8
+    seed_sets, betas, gammas, triples = [], [], [], []
+    for _ in range(N):
+        seeds = rng.choice(g.n_nodes, 2, replace=False)
+        b, gm = rng.uniform(0.1, 0.5), rng.uniform(0.1, 0.5)
+        i_t, s_t, r_t = sir_classical(g, seeds, b, gm, max_time=T)
+        seed_sets.append(list(seeds)); betas.append(b); gammas.append(gm)
+        triples.append((s_t, i_t, r_t))
+    data = build_trial_data(g.n_nodes, seed_sets, betas, gammas, triples)
+    tr, va, te = split_indices(N, (0.6, 0.2, 0.2))
+    model = GNODE(hidden=8, max_time=T)
+    adj = adjacency_from_graph(g)
+    opt = optax.adam(1e-2)
+    ckpt = str(tmp_path / "ck")
+
+    params = model.init(jax.random.PRNGKey(0))
+    # "crash" after 3 epochs (checkpoint written at end)
+    res1 = fit(model, opt, params, data, tr, va, te, lambda gi: adj,
+               epochs=3, batch_size=4, verbose=False, checkpoint_dir=ckpt)
+    # resume to epoch 6
+    res2 = fit(model, opt, params, data, tr, va, te, lambda gi: adj,
+               epochs=6, batch_size=4, verbose=False,
+               checkpoint_dir=ckpt, resume=True)
+    assert res2.history[0][0] == 3  # continued where it stopped
+    assert len(res2.history) == 3
+    assert np.isfinite(res2.test_loss)
+
+
 def test_csv_sink_schema(tmp_path):
     from gn_ode_sir_tpu.utils import csv_trials, save_trial_to_csv
     from gn_ode_sir_tpu.utils.config import ExperimentConfig
