@@ -8,18 +8,22 @@ multi-device sharding paths execute under CI (SURVEY.md §4).
 import os
 import sys
 
-# Must happen before jax import anywhere.
+# Must happen before any jax BACKEND initialization (jax may already be
+# imported by a sitecustomize that registers a TPU plugin — config.update
+# still wins as long as no client has been created).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 # The axon sitecustomize (PYTHONPATH=/root/.axon_site) may already have
-# registered the TPU plugin if it was imported first; defend by dropping the
-# path so child imports don't pick it up.
+# registered the TPU plugin; defend by dropping the path so child imports
+# don't pick it up.
 sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 if jax.default_backend() != "cpu":  # pragma: no cover
     raise RuntimeError(
