@@ -128,14 +128,19 @@ class GNODE:
 
         func = _get_func(self.activation, self.deriv_layernorm)
         ts = jnp.asarray(self.ts)
-        traj = odeint_grid(
-            func,
-            (s, i, r),
-            ts,
-            (params, beta, gamma, adj),
-            method=self.method,
-            adjoint=self.adjoint,
-        )  # tuple of [T, B, n, h]
+        if self.method == "dopri5_adaptive":
+            from gn_ode_sir_tpu.odeint import odeint_grid_adaptive
+
+            traj = odeint_grid_adaptive(func, (s, i, r), ts, (params, beta, gamma, adj))
+        else:
+            traj = odeint_grid(
+                func,
+                (s, i, r),
+                ts,
+                (params, beta, gamma, adj),
+                method=self.method,
+                adjoint=self.adjoint,
+            )  # tuple of [T, B, n, h]
 
         y = jnp.stack(traj, axis=-2)  # [T, B, n, 3, h]
         u = jax.nn.relu(linear(params["dec1"], y))

@@ -81,6 +81,46 @@ def test_backsolve_close_to_direct():
     np.testing.assert_allclose(float(g_direct), float(g_back), rtol=2e-3)
 
 
+def test_adaptive_dopri5():
+    from gn_ode_sir_tpu.odeint import odeint_grid_adaptive
+
+    def field(t, y, a):
+        return jax.tree_util.tree_map(lambda v: -a * v + jnp.sin(10 * t), y)
+
+    y0 = jnp.asarray([1.0, 2.0])
+    ts = jnp.linspace(0.0, 2.0, 11)
+    ys = odeint_grid_adaptive(field, y0, ts, 3.0, rtol=1e-6, atol=1e-8)
+    ts_fine = jnp.linspace(0.0, 2.0, 2001)
+    ref = odeint_grid(field, y0, ts_fine, 3.0, method="rk4", adjoint="direct")[::200]
+    assert float(jnp.abs(ys - ref).max()) < 1e-5
+    np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(y0))
+    # reverse-differentiable (bounded fori_loop, not while_loop)
+    g_a = jax.grad(lambda a: odeint_grid_adaptive(field, y0, ts, a).sum())(3.0)
+    g_r = jax.grad(
+        lambda a: odeint_grid(field, y0, ts_fine, a, method="rk4", adjoint="direct")[::200].sum()
+    )(3.0)
+    np.testing.assert_allclose(float(g_a), float(g_r), rtol=1e-4)
+
+
+def test_gnode_adaptive_method(random_graph):
+    """GNODE with the adaptive solver stays close to a fine euler solve."""
+    from gn_ode_sir_tpu.models import GNODE
+    from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
+
+    g = random_graph
+    adj = adjacency_from_graph(g)
+    i0 = np.zeros((1, g.n_nodes), np.float32)
+    i0[:, 0] = 1
+    args = (jnp.asarray(1 - i0), jnp.asarray(i0), jnp.zeros((1, g.n_nodes)),
+            jnp.asarray([0.3]), jnp.asarray([0.2]))
+    m_ad = GNODE(hidden=8, max_time=6, method="dopri5_adaptive")
+    m_rk = GNODE(hidden=8, max_time=6, method="rk4")
+    params = m_ad.init(jax.random.PRNGKey(0))
+    a = m_ad.predict(params, adj, *args)
+    b = m_rk.predict(params, adj, *args)
+    assert float(jnp.abs(a - b).max()) < 1e-3
+
+
 def test_dense_output_contract():
     """First slice equals y0; shape is [T, ...]."""
     y0 = jnp.asarray([2.0, 3.0])
