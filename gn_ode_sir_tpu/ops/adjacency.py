@@ -85,21 +85,34 @@ class CooAdj:
         return cls(*children, n_nodes=aux)
 
 
-def adjacency_from_graph(graph, *, prefer_dense: bool | None = None, dtype=None):
+def adjacency_from_graph(graph, *, prefer_dense: bool | None = None, dtype=None,
+                         kind: str = "auto"):
     """Build the right adjacency pytree for a host-side Graph.
 
-    ``dtype=jnp.bfloat16`` halves dense-path HBM traffic (exact {0,1}
-    adjacency; activations round to bf16 inside the matmul).
+    ``kind``: 'auto' (dense MXU up to DENSE_NODE_THRESHOLD nodes, bucketed
+    ELL beyond — the measured-fastest choice at each scale), or an explicit
+    'dense' | 'coo' | 'ell'. ``prefer_dense`` is the legacy boolean override
+    (True -> dense, False -> coo). ``dtype=jnp.bfloat16`` halves dense-path
+    HBM traffic (exact {0,1} adjacency; activations round to bf16 inside the
+    matmul).
     """
     from gn_ode_sir_tpu.ops.spmm import DENSE_NODE_THRESHOLD
 
-    if prefer_dense is None:
-        prefer_dense = graph.n_nodes <= DENSE_NODE_THRESHOLD
-    if prefer_dense:
+    if prefer_dense is not None:
+        kind = "dense" if prefer_dense else "coo"
+    if kind == "auto":
+        kind = "dense" if graph.n_nodes <= DENSE_NODE_THRESHOLD else "ell"
+    if kind == "dense":
         return DenseAdj(jnp.asarray(graph.dense_adjacency, dtype or jnp.float32))
-    return CooAdj(
-        jnp.asarray(graph.src), jnp.asarray(graph.dst), None, graph.n_nodes
-    )
+    if kind == "ell":
+        from gn_ode_sir_tpu.ops.ell import EllAdj
+
+        return EllAdj.from_graph(graph)
+    if kind == "coo":
+        return CooAdj(
+            jnp.asarray(graph.src), jnp.asarray(graph.dst), None, graph.n_nodes
+        )
+    raise ValueError(f"unknown adjacency kind {kind!r}")
 
 
 def adjacency_from_batch(batch, graph_idx):
