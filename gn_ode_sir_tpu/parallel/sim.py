@@ -9,8 +9,6 @@ device-unique RNG fold, and the [T, 3, n] indicator counts are
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,14 +17,12 @@ evaluation measures transfer to an UNSEEN graph.
 
 from __future__ import annotations
 
-import os
-
 import jax.numpy as jnp
 import numpy as np
 
 from gn_ode_sir_tpu.graphs import GraphBatch, pad_graphs
 from gn_ode_sir_tpu.ops.adjacency import CooAdj
-from gn_ode_sir_tpu.train.data import TrialData, build_trial_data
+from gn_ode_sir_tpu.train.data import build_trial_data
 
 
 def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False):
