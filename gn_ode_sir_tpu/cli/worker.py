@@ -357,6 +357,14 @@ def run_node_split(args):
     from gn_ode_sir_tpu.utils.config import ExperimentConfig
     from gn_ode_sir_tpu.utils.csvsink import save_trial_to_csv
 
+    # Legacy CLI convention (ode_nn.py:520): a FLAT int list is ONE seed set
+    # ("--I_indices 25 18" == seeds {25, 18}), unlike the per-trial
+    # list-strings of the batched protocol.
+    if len(args.I_indices) > 1 and all(
+        "[" not in str(s) and "," not in str(s) for s in args.I_indices
+    ):
+        args.I_indices = ["[" + ", ".join(str(s) for s in args.I_indices) + "]"]
+
     g, i_indices, data = load_experiment(args)
     print(f"nodes {g.n_nodes}\nedges {g.n_edges // 2}")
     seeds, beta, gamma = i_indices[0], args.beta[0], args.gamma[0]
