@@ -251,7 +251,6 @@ def run_multigraph(args):
     """'+'-joined datasets: train on G-1 graphs, evaluate on the unseen last
     graph (``ode_nn_ngraphs.py`` / ``gnn_ngraphs.py`` protocol)."""
     import jax
-    import jax.numpy as jnp
     import optax
 
     from gn_ode_sir_tpu.graphs import load_graphs
@@ -264,6 +263,13 @@ def run_multigraph(args):
     )
     from gn_ode_sir_tpu.utils.config import ExperimentConfig
     from gn_ode_sir_tpu.utils.csvsink import save_trial_to_csv
+
+    if args.model not in ("ode_nn", "GCN", "GIN"):
+        raise SystemExit(
+            f"--model {args.model} is single-graph only; multi-graph datasets "
+            "support ode_nn/GCN/GIN (the reference's dmp/rk baselines are "
+            "single-graph, dmp.py:349)"
+        )
 
     graphs = load_graphs(args.dataset)
     names = [g.name for g in graphs]
