@@ -86,6 +86,59 @@ def test_spmd_train_step_equals_single_device(random_graph, mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_2d_spmd_train_step_equals_single_device(random_graph):
+    """dp x edge mesh: one full GNODE training step must equal the
+    single-device step — this exercises the edge-sharded SpMM's custom VJP
+    (psum'd input cotangents keep upstream grads replicated)."""
+    from gn_ode_sir_tpu.parallel import make_mesh, make_spmd_train_step_2d
+
+    g = random_graph
+    model = GNODE(hidden=8, max_time=8)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    mesh2d = make_mesh((4, 2), ("data", "edge"))
+    step = make_spmd_train_step_2d(model, opt, mesh2d, g.n_nodes)
+
+    B = 8
+    rng = np.random.default_rng(3)
+    i0 = np.zeros((B, g.n_nodes), np.float32)
+    for b in range(B):
+        i0[b, rng.choice(g.n_nodes, 2, replace=False)] = 1
+    batch = {
+        "s0": jnp.asarray(1 - i0),
+        "i0": jnp.asarray(i0),
+        "r0": jnp.zeros((B, g.n_nodes)),
+        "beta": jnp.full((B,), 0.3),
+        "gamma": jnp.full((B,), 0.2),
+        "weight": jnp.ones((B,)),
+        "labels": jnp.asarray(rng.random((B, 8, g.n_nodes, 3)), jnp.float32),
+        "graph_idx": jnp.zeros((B,), jnp.int32),
+    }
+    E = g.n_edges
+    pad = (-E) % 2
+    src = jnp.asarray(np.concatenate([g.src, np.zeros(pad, np.int32)]))
+    dst = jnp.asarray(np.concatenate([g.dst, np.zeros(pad, np.int32)]))
+    w = jnp.asarray(np.concatenate([np.ones(E, np.float32), np.zeros(pad, np.float32)]))
+    p_2d, _, loss_2d = step(params, opt_state, batch, src, dst, w)
+
+    adj = adjacency_from_graph(g, prefer_dense=False)
+
+    def loss_fn(p):
+        pred = model.predict(
+            p, adj, batch["s0"], batch["i0"], batch["r0"], batch["beta"], batch["gamma"]
+        )
+        return l1_sir_loss(pred, batch["labels"], trial_weight=batch["weight"])
+
+    loss_ref, grads = jax.value_and_grad(loss_fn)(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_ref = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(loss_2d), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_2d), jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_edge_sharded_spmm(random_graph, mesh):
     g = random_graph
     rng = np.random.default_rng(1)
