@@ -69,7 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
     # performance knobs
     p.add_argument("--spmm", default="auto", choices=["auto", "dense", "coo", "ell"],
                    help="message-passing backend for GN-ODE")
-    p.add_argument("--coins", default="bits16", choices=["bits16", "bits32", "uniform"],
+    p.add_argument("--coins", default="bits16", choices=["bits16", "bits32", "uniform", "pallas"],
                    help="MC simulator coin generation mode")
     p.add_argument("--sims_chunk", type=int, default=None,
                    help="MC simulator chunk size (HBM control for huge graphs)")

@@ -37,7 +37,7 @@ import numpy as np
 
 from gn_ode_sir_tpu.graphs.graph import Graph
 
-_COIN_MODES = ("bits16", "bits32", "uniform")
+_COIN_MODES = ("bits16", "bits32", "uniform", "pallas")
 
 # Device-resident adjacency cache: re-uploading a 100+ MB dense adjacency per
 # call dominated simulate_sir wall time before this existed.
@@ -76,6 +76,15 @@ def _simulate_chunk(a_bf16, seeds_mask, beta, gamma, key, *, sims: int,
         counts = jnp.dot(
             i.astype(jnp.bfloat16), a_bf16, preferred_element_type=jnp.float32
         )
+        if coins == "pallas":
+            # fused coins+update with the on-chip hardware PRNG (TPU only)
+            from gn_ode_sir_tpu.sim.pallas_step import sir_update_pallas
+
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32) + t
+            s, i, r = sir_update_pallas(
+                s, i, r, counts, log1m_beta, jnp.float32(gamma), seed
+            )
+            return (s, i, r), jnp.stack([s.sum(0), i.sum(0), r.sum(0)])
         p_inf = -jnp.expm1(counts * log1m_beta)  # 1 - (1-beta)^k, stable
         if coins == "bits16":
             w = jax.random.bits(k, (sims, n), jnp.uint32)
