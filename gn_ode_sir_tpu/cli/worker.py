@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_batch_size", type=int, default=8)
     p.add_argument("--rk_baseline", action="store_true", help="also run the RK mean-field baseline")
     p.add_argument("--save_checkpoint", action="store_true", help="save best params via Orbax")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="periodic Orbax checkpoint interval (epochs)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume a crashed run from its periodic checkpoint")
     p.add_argument("--log_every", type=int, default=1)
     # multi-graph ('+'-joined datasets, reference monitorer-ngraphs path)
     p.add_argument("--instances_per_graph", type=int, nargs="+", default=None,
@@ -194,6 +198,12 @@ def run_trainable(args, g, data, splits):
         eval_batch_size=args.eval_batch_size,
         verbose=True,
         log_every=args.log_every,
+        checkpoint_dir=(
+            os.path.join(args.path_to_save, f"ckpt-trial{args.trial}-{args.model}")
+            if (args.checkpoint_every or args.resume) else None
+        ),
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
     )
     if args.save_checkpoint:
         from gn_ode_sir_tpu.train import save_checkpoint

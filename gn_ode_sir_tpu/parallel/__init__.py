@@ -17,6 +17,7 @@ TP/PP/EP are N/A for this model family (1-2 Linear layers, no MoE) — the
 mesh API leaves room for a 'model' axis but no component requires it.
 """
 
+from gn_ode_sir_tpu.parallel.distributed import init_distributed
 from gn_ode_sir_tpu.parallel.mesh import data_sharding, make_mesh, replicated_sharding
 from gn_ode_sir_tpu.parallel.sim import simulate_sir_sharded
 from gn_ode_sir_tpu.parallel.spmd import (
@@ -27,6 +28,7 @@ from gn_ode_sir_tpu.parallel.spmd import (
 )
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "data_sharding",
     "replicated_sharding",
