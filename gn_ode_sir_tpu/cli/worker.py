@@ -135,11 +135,29 @@ def load_experiment(args):
 
 
 def get_splits(args, n_trials: int):
-    from gn_ode_sir_tpu.train import out_of_dist_split, split_indices
+    from gn_ode_sir_tpu.train import (
+        make_out_of_dist_split,
+        out_of_dist_split,
+        split_indices,
+    )
 
     if not args.out_of_dist:
         return split_indices(n_trials, tuple(args.train_val_test_ratio))
-    d = out_of_dist_split(os.path.join(args.path_to_save, "out-of-dist-gamma.pkl"))
+    ood_path = os.path.join(args.path_to_save, "out-of-dist-gamma.pkl")
+    if not os.path.exists(ood_path):
+        # the reference ships this dict precomputed; generate it with the
+        # same gamma-binned semantics when absent (train/data.py)
+        r = args.train_val_test_ratio
+        d = make_out_of_dist_split(
+            list(args.gamma),
+            n_train=int(r[0] * n_trials) if r[0] < 0.5 else int(0.4 * n_trials),
+            n_val=int(r[1] * n_trials),
+            seed=args.seed,
+        )
+        with open(ood_path, "wb") as f:
+            pickle.dump(d, f)
+        print(f"generated gamma-binned out-of-dist split -> {ood_path}")
+    d = out_of_dist_split(ood_path)
     test = np.asarray(
         [i for i in range(n_trials) if i not in d["in_train"] and i not in d["in_val"]],
         np.int64,
