@@ -36,10 +36,14 @@ def _step_kernel(seed_ref, s_ref, i_ref, r_ref, counts_ref, params_ref,
     gamma16 = params_ref[1]  # gamma * 65536
 
     counts = counts_ref[:]
-    p_inf = -jnp.expm1(counts * log1m_beta)
-    w = pltpu.bitcast(pltpu.prng_random_bits(counts.shape), jnp.uint32)
+    # 1-(1-beta)^k via exp (expm1 has no Pallas TPU lowering; exp is fine at
+    # the 2^-16 coin granularity)
+    p_inf = 1.0 - jnp.exp(counts * log1m_beta)
+    # int32 bit-twiddling: uint32->f32 casts have no TPU lowering, but the
+    # masked 16-bit halves are non-negative int32 and int32->f32 is supported
+    w = pltpu.bitcast(pltpu.prng_random_bits(counts.shape), jnp.int32)
     u = (w & 0xFFFF).astype(jnp.float32)
-    v = (w >> 16).astype(jnp.float32)
+    v = (jax.lax.shift_right_logical(w, 16) & 0xFFFF).astype(jnp.float32)
 
     s = s_ref[:]
     i = i_ref[:]
