@@ -77,6 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MC simulator coin generation mode")
     p.add_argument("--sims_chunk", type=int, default=None,
                    help="MC simulator chunk size (HBM control for huge graphs)")
+    p.add_argument("--mg_adj", default="coo", choices=["coo", "dense"],
+                   help="multi-graph adjacency backend (dense = MXU blocks)")
     return p
 
 
@@ -342,17 +344,17 @@ def run_multigraph(args):
     if args.model == "ode_nn":
         model = GNODE(hidden=args.hidden, max_time=args.maxTime, delta_t=args.deltaT,
                       method=args.method, adjoint=args.adjoint)
-        adj_fn, node_mask_fn = multigraph_adj_fns(batch)
+        adj_fn, node_mask_fn = multigraph_adj_fns(batch, kind=args.mg_adj)
     elif args.model == "GCN":
         model = TimeUnrolledSIR(GCN(input_dim=5, hidden_dim=args.hidden,
                                     penultimate_dim=max(args.hidden // 2, 1),
                                     window=args.maxTime))
-        adj_fn, node_mask_fn = multigraph_adj_fns(batch, gcn_normalized=True)
+        adj_fn, node_mask_fn = multigraph_adj_fns(batch, gcn_normalized=True, kind=args.mg_adj)
     else:
         model = TimeUnrolledSIR(GIN(input_dim=5, hidden_dim=args.hidden,
                                     penultimate_dim=max(args.hidden // 2, 1),
                                     window=args.maxTime))
-        adj_fn, node_mask_fn = multigraph_adj_fns(batch)
+        adj_fn, node_mask_fn = multigraph_adj_fns(batch, kind=args.mg_adj)
 
     params = model.init(jax.random.PRNGKey(args.seed))
     res = fit(

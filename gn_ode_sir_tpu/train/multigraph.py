@@ -21,31 +21,53 @@ import jax.numpy as jnp
 import numpy as np
 
 from gn_ode_sir_tpu.graphs import GraphBatch, pad_graphs
-from gn_ode_sir_tpu.ops.adjacency import CooAdj
+from gn_ode_sir_tpu.ops.adjacency import CooAdj, DenseAdj
 from gn_ode_sir_tpu.train.data import build_trial_data
 
 
-def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False):
+def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False,
+                       kind: str = "coo"):
     """(adj_fn, node_mask_fn) closures for :func:`gn_ode_sir_tpu.train.fit`.
 
     Both take the per-batch ``graph_idx`` array and gather the padded edge
     rows / node masks on device — zero host work under jit.
+
+    ``kind='dense'`` keeps a [G, n_max, n_max] bf16 adjacency stack resident
+    and gathers per-trial dense blocks — the MXU path for multi-graph
+    batches (HBM cost G*n_max^2*2 bytes; preferable when n_max is moderate
+    or the gather/scatter path misbehaves).
     """
     if gcn_normalized:
         src, dst, w = _normalized_edges(batch)
     else:
         src, dst, w = batch.src, batch.dst, batch.edge_w
-    src_d = jnp.asarray(src)
-    dst_d = jnp.asarray(dst)
-    w_d = jnp.asarray(w)
     mask_d = jnp.asarray(batch.node_mask)
     n_max = batch.n_max
 
-    def adj_fn(graph_idx):
-        return CooAdj(src_d[graph_idx], dst_d[graph_idx], w_d[graph_idx], n_max)
-
     def node_mask_fn(graph_idx):
         return mask_d[graph_idx]
+
+    if kind == "dense":
+        dense = np.zeros((batch.num_graphs, n_max, n_max), np.float32)
+        for g in range(batch.num_graphs):
+            # additive scatter: padding edges land on (0, 0) with weight 0
+            # and must not overwrite a real entry there
+            np.add.at(dense[g], (dst[g], src[g]), w[g])
+        # {0,1} adjacency is exact in bf16; keep f32 for normalized weights
+        dtype = jnp.float32 if gcn_normalized else jnp.bfloat16
+        dense_d = jnp.asarray(dense, dtype)
+
+        def adj_fn(graph_idx):
+            return DenseAdj(dense_d[graph_idx])
+
+        return adj_fn, node_mask_fn
+
+    src_d = jnp.asarray(src)
+    dst_d = jnp.asarray(dst)
+    w_d = jnp.asarray(w)
+
+    def adj_fn(graph_idx):
+        return CooAdj(src_d[graph_idx], dst_d[graph_idx], w_d[graph_idx], n_max)
 
     return adj_fn, node_mask_fn
 

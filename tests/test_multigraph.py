@@ -65,6 +65,25 @@ def test_adj_fn_matches_per_graph_spmm(two_graphs):
     assert float(mask[1].sum()) == two_graphs[0].n_nodes
 
 
+def test_multigraph_dense_kind_matches_coo(two_graphs):
+    batch = pad_graphs(two_graphs, node_multiple=8, edge_multiple=16)
+    adj_coo, _ = multigraph_adj_fns(batch, kind="coo")
+    adj_dense, _ = multigraph_adj_fns(batch, kind="dense")
+    gi = jnp.asarray([0, 1, 1], jnp.int32)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((3, batch.n_max, 4)), jnp.float32)
+    a = adj_coo(gi).matvec(x)
+    b = adj_dense(gi).matvec(x)
+    # bf16 adjacency: values are {0,1} so only activation rounding differs
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2)
+    # gcn-normalized dense path keeps f32 exactness
+    an, _ = multigraph_adj_fns(batch, gcn_normalized=True, kind="coo")
+    bn, _ = multigraph_adj_fns(batch, gcn_normalized=True, kind="dense")
+    np.testing.assert_allclose(
+        np.asarray(an(gi).matvec(x)), np.asarray(bn(gi).matvec(x)), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_multigraph_fit_end_to_end(two_graphs, tmp_path):
     rng = np.random.default_rng(0)
     per_graph = []
