@@ -211,7 +211,8 @@ def run_trainable(args, g, data, splits):
         tr,
         va,
         te,
-        lambda gi: adj,
+        lambda gi, aux: aux["adj"],
+        adj_aux={"adj": adj},
         epochs=args.epochs,
         batch_size=args.batch_size,
         seed=args.seed,
@@ -344,21 +345,22 @@ def run_multigraph(args):
     if args.model == "ode_nn":
         model = GNODE(hidden=args.hidden, max_time=args.maxTime, delta_t=args.deltaT,
                       method=args.method, adjoint=args.adjoint)
-        adj_fn, node_mask_fn = multigraph_adj_fns(batch, kind=args.mg_adj)
+        adj_fn, node_mask_fn, adj_aux = multigraph_adj_fns(batch, kind=args.mg_adj)
     elif args.model == "GCN":
         model = TimeUnrolledSIR(GCN(input_dim=5, hidden_dim=args.hidden,
                                     penultimate_dim=max(args.hidden // 2, 1),
                                     window=args.maxTime))
-        adj_fn, node_mask_fn = multigraph_adj_fns(batch, gcn_normalized=True, kind=args.mg_adj)
+        adj_fn, node_mask_fn, adj_aux = multigraph_adj_fns(batch, gcn_normalized=True, kind=args.mg_adj)
     else:
         model = TimeUnrolledSIR(GIN(input_dim=5, hidden_dim=args.hidden,
                                     penultimate_dim=max(args.hidden // 2, 1),
                                     window=args.maxTime))
-        adj_fn, node_mask_fn = multigraph_adj_fns(batch, kind=args.mg_adj)
+        adj_fn, node_mask_fn, adj_aux = multigraph_adj_fns(batch, kind=args.mg_adj)
 
     params = model.init(jax.random.PRNGKey(args.seed))
     res = fit(
         model, optax.adam(args.lr), params, data, tr, va, te, adj_fn,
+        adj_aux=adj_aux,
         epochs=args.epochs, batch_size=args.batch_size, seed=args.seed,
         node_mask_fn=node_mask_fn, eval_batch_size=args.eval_batch_size,
         verbose=True, log_every=args.log_every,

@@ -38,8 +38,15 @@ def _data_to_device(data: TrialData) -> dict:
 
 def _batch_loss(model, params, adj_fn, node_mask_fn, d, bidx, bw, rng=None, train=False):
     gi = d["graph_idx"][bidx]
-    adj = adj_fn(gi)
-    node_mask = node_mask_fn(gi) if node_mask_fn is not None else None
+    # adjacency/mask arrays ride inside `d` ("__adj_aux__") so they are jit
+    # ARGUMENTS — a closure-captured device array would be baked into the
+    # compiled program as a constant (huge HLO, slow/failing compiles).
+    aux = d.get("__adj_aux__")
+    adj = adj_fn(gi) if aux is None else adj_fn(gi, aux)
+    if node_mask_fn is None:
+        node_mask = None
+    else:
+        node_mask = node_mask_fn(gi) if aux is None else node_mask_fn(gi, aux)
     pred = model.predict(
         params,
         adj,
@@ -130,6 +137,7 @@ def fit(
     batch_size: int = 1,
     seed: int = 0,
     node_mask_fn=None,
+    adj_aux=None,
     eval_batch_size: int | None = None,
     verbose: bool = True,
     log_every: int = 50,
@@ -148,6 +156,8 @@ def fit(
     ``ode_nn_ngraph_sim.py:448-467``.
     """
     d = _data_to_device(data)
+    if adj_aux is not None:
+        d["__adj_aux__"] = jax.tree_util.tree_map(jnp.asarray, adj_aux)
     opt_state = optimizer.init(params)
     train_epoch = make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn)
     evaluate = make_eval_fn(model, adj_fn, node_mask_fn)

@@ -27,25 +27,27 @@ from gn_ode_sir_tpu.train.data import build_trial_data
 
 def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False,
                        kind: str = "coo"):
-    """(adj_fn, node_mask_fn) closures for :func:`gn_ode_sir_tpu.train.fit`.
+    """(adj_fn, node_mask_fn, adj_aux) for :func:`gn_ode_sir_tpu.train.fit`.
 
-    Both take the per-batch ``graph_idx`` array and gather the padded edge
-    rows / node masks on device — zero host work under jit.
+    ``adj_aux`` is the dict of connectivity arrays; pass it to
+    ``fit(..., adj_aux=...)`` so it enters the compiled program as an
+    ARGUMENT (a closure-captured device array would be baked into the HLO as
+    a constant — megabytes-to-gigabytes of program text that can blow the
+    compile). The closures take ``(graph_idx, aux)`` and do pure device
+    gathers of per-trial rows.
 
-    ``kind='dense'`` keeps a [G, n_max, n_max] bf16 adjacency stack resident
-    and gathers per-trial dense blocks — the MXU path for multi-graph
-    batches (HBM cost G*n_max^2*2 bytes; preferable when n_max is moderate
-    or the gather/scatter path misbehaves).
+    ``kind='dense'`` keeps a [G, n_max, n_max] adjacency stack (bf16 for the
+    {0,1} case — exact; f32 when GCN-normalized) and gathers per-trial MXU
+    blocks; ``'coo'`` gathers padded edge rows for segment-sum SpMM.
     """
     if gcn_normalized:
         src, dst, w = _normalized_edges(batch)
     else:
         src, dst, w = batch.src, batch.dst, batch.edge_w
-    mask_d = jnp.asarray(batch.node_mask)
     n_max = batch.n_max
 
-    def node_mask_fn(graph_idx):
-        return mask_d[graph_idx]
+    def node_mask_fn(graph_idx, aux):
+        return aux["node_mask"][graph_idx]
 
     if kind == "dense":
         dense = np.zeros((batch.num_graphs, n_max, n_max), np.float32)
@@ -53,23 +55,30 @@ def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False,
             # additive scatter: padding edges land on (0, 0) with weight 0
             # and must not overwrite a real entry there
             np.add.at(dense[g], (dst[g], src[g]), w[g])
-        # {0,1} adjacency is exact in bf16; keep f32 for normalized weights
-        dtype = jnp.float32 if gcn_normalized else jnp.bfloat16
-        dense_d = jnp.asarray(dense, dtype)
+        dtype = np.float32 if gcn_normalized else jnp.bfloat16
+        aux = {
+            "dense": jnp.asarray(dense, dtype),
+            "node_mask": batch.node_mask,
+        }
 
-        def adj_fn(graph_idx):
-            return DenseAdj(dense_d[graph_idx])
+        def adj_fn(graph_idx, aux):
+            return DenseAdj(aux["dense"][graph_idx])
 
-        return adj_fn, node_mask_fn
+        return adj_fn, node_mask_fn, aux
 
-    src_d = jnp.asarray(src)
-    dst_d = jnp.asarray(dst)
-    w_d = jnp.asarray(w)
+    aux = {
+        "src": src,
+        "dst": dst,
+        "w": w,
+        "node_mask": batch.node_mask,
+    }
 
-    def adj_fn(graph_idx):
-        return CooAdj(src_d[graph_idx], dst_d[graph_idx], w_d[graph_idx], n_max)
+    def adj_fn(graph_idx, aux):
+        return CooAdj(
+            aux["src"][graph_idx], aux["dst"][graph_idx], aux["w"][graph_idx], n_max
+        )
 
-    return adj_fn, node_mask_fn
+    return adj_fn, node_mask_fn, aux
 
 
 def _normalized_edges(batch: GraphBatch):

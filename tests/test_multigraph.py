@@ -47,9 +47,10 @@ def test_pad_graphs_shapes(two_graphs):
 
 def test_adj_fn_matches_per_graph_spmm(two_graphs):
     batch = pad_graphs(two_graphs, node_multiple=8, edge_multiple=16)
-    adj_fn, node_mask_fn = multigraph_adj_fns(batch)
+    adj_fn, node_mask_fn, aux = multigraph_adj_fns(batch)
+    aux = jax.tree_util.tree_map(jnp.asarray, aux)
     gi = jnp.asarray([1, 0, 1], jnp.int32)
-    adj = adj_fn(gi)
+    adj = adj_fn(gi, aux)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((3, batch.n_max, 4)), jnp.float32)
     out = adj.matvec(x)
@@ -61,26 +62,31 @@ def test_adj_fn_matches_per_graph_spmm(two_graphs):
         np.testing.assert_allclose(
             np.asarray(out[b, : g.n_nodes]), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
-    mask = node_mask_fn(gi)
+    mask = node_mask_fn(gi, aux)
     assert float(mask[1].sum()) == two_graphs[0].n_nodes
 
 
 def test_multigraph_dense_kind_matches_coo(two_graphs):
     batch = pad_graphs(two_graphs, node_multiple=8, edge_multiple=16)
-    adj_coo, _ = multigraph_adj_fns(batch, kind="coo")
-    adj_dense, _ = multigraph_adj_fns(batch, kind="dense")
+    adj_coo, _, aux_c = multigraph_adj_fns(batch, kind="coo")
+    adj_dense, _, aux_d = multigraph_adj_fns(batch, kind="dense")
+    aux_c = jax.tree_util.tree_map(jnp.asarray, aux_c)
+    aux_d = jax.tree_util.tree_map(jnp.asarray, aux_d)
     gi = jnp.asarray([0, 1, 1], jnp.int32)
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.random((3, batch.n_max, 4)), jnp.float32)
-    a = adj_coo(gi).matvec(x)
-    b = adj_dense(gi).matvec(x)
+    a = adj_coo(gi, aux_c).matvec(x)
+    b = adj_dense(gi, aux_d).matvec(x)
     # bf16 adjacency: values are {0,1} so only activation rounding differs
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2)
     # gcn-normalized dense path keeps f32 exactness
-    an, _ = multigraph_adj_fns(batch, gcn_normalized=True, kind="coo")
-    bn, _ = multigraph_adj_fns(batch, gcn_normalized=True, kind="dense")
+    an, _, aux_cn = multigraph_adj_fns(batch, gcn_normalized=True, kind="coo")
+    bn, _, aux_dn = multigraph_adj_fns(batch, gcn_normalized=True, kind="dense")
+    aux_cn = jax.tree_util.tree_map(jnp.asarray, aux_cn)
+    aux_dn = jax.tree_util.tree_map(jnp.asarray, aux_dn)
     np.testing.assert_allclose(
-        np.asarray(an(gi).matvec(x)), np.asarray(bn(gi).matvec(x)), rtol=1e-4, atol=1e-5
+        np.asarray(an(gi, aux_cn).matvec(x)), np.asarray(bn(gi, aux_dn).matvec(x)),
+        rtol=1e-4, atol=1e-5
     )
 
 
@@ -105,11 +111,12 @@ def test_multigraph_fit_end_to_end(two_graphs, tmp_path):
     assert np.all(data.labels[0, :, n1:, :] == 0)
 
     tr, va, te = multigraph_split(counts)
-    adj_fn, node_mask_fn = multigraph_adj_fns(batch)
+    adj_fn, node_mask_fn, adj_aux = multigraph_adj_fns(batch)
     model = GNODE(hidden=8, max_time=8)
     params = model.init(jax.random.PRNGKey(0))
     res = fit(
         model, optax.adam(1e-2), params, data, tr, va, te, adj_fn,
+        adj_aux=adj_aux,
         epochs=5, batch_size=4, node_mask_fn=node_mask_fn, verbose=False,
     )
     assert res.history[-1][1] < res.history[0][1]
