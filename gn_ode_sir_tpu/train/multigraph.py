@@ -25,8 +25,11 @@ from gn_ode_sir_tpu.ops.adjacency import CooAdj, DenseAdj
 from gn_ode_sir_tpu.train.data import build_trial_data
 
 
+MG_DENSE_BYTES_LIMIT = 2 << 30  # auto picks dense below this stack size
+
+
 def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False,
-                       kind: str = "coo"):
+                       kind: str = "auto"):
     """(adj_fn, node_mask_fn, adj_aux) for :func:`gn_ode_sir_tpu.train.fit`.
 
     ``adj_aux`` is the dict of connectivity arrays; pass it to
@@ -40,6 +43,10 @@ def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False,
     {0,1} case — exact; f32 when GCN-normalized) and gathers per-trial MXU
     blocks; ``'coo'`` gathers padded edge rows for segment-sum SpMM.
     """
+    if kind == "auto":
+        itemsize = 4 if gcn_normalized else 2
+        stack_bytes = batch.num_graphs * batch.n_max * batch.n_max * itemsize
+        kind = "dense" if stack_bytes <= MG_DENSE_BYTES_LIMIT else "coo"
     if gcn_normalized:
         src, dst, w = _normalized_edges(batch)
     else:
@@ -55,7 +62,12 @@ def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False,
             # additive scatter: padding edges land on (0, 0) with weight 0
             # and must not overwrite a real entry there
             np.add.at(dense[g], (dst[g], src[g]), w[g])
-        dtype = np.float32 if gcn_normalized else jnp.bfloat16
+        # keep f32 exactness when the stack is small; drop to bf16 (exact for
+        # the {0,1} adjacency, activations round) only at scale
+        f32_bytes = dense.size * 4
+        dtype = (
+            np.float32 if gcn_normalized or f32_bytes <= (512 << 20) else jnp.bfloat16
+        )
         aux = {
             "dense": jnp.asarray(dense, dtype),
             "node_mask": batch.node_mask,

@@ -47,7 +47,7 @@ def test_pad_graphs_shapes(two_graphs):
 
 def test_adj_fn_matches_per_graph_spmm(two_graphs):
     batch = pad_graphs(two_graphs, node_multiple=8, edge_multiple=16)
-    adj_fn, node_mask_fn, aux = multigraph_adj_fns(batch)
+    adj_fn, node_mask_fn, aux = multigraph_adj_fns(batch, kind="coo")
     aux = jax.tree_util.tree_map(jnp.asarray, aux)
     gi = jnp.asarray([1, 0, 1], jnp.int32)
     adj = adj_fn(gi, aux)
