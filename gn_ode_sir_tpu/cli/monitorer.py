@@ -123,13 +123,29 @@ def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False) -> int:
             os.makedirs(path_to_save, exist_ok=True)
             i_indices, betas, gammas = _load_or_create_params(cfg, dataset, path_to_save)
 
-        for hidden in cfg.hidden_dim_array:
+        if cfg.many_graph_instances:
+            # one experiment per hidden size, all trials batched inside it
+            jobs = [
+                (hidden, i_indices, betas, gammas, ())
+                for hidden in cfg.hidden_dim_array
+            ]
+        else:
+            # legacy per-trial fan-out (monitorer-sim.py:160-201): one worker
+            # per (trial, hidden) pair on the transductive node-split protocol
+            jobs = [
+                (hidden, [i_indices[k]], [betas[k]], [gammas[k]], ("--node_split",))
+                for k in range(len(i_indices))
+                for hidden in cfg.hidden_dim_array
+            ]
+            total = len(cfg.datasets_array) * len(jobs)
+
+        for hidden, ii, bb, gg, extra in jobs:
             if only and proc_num not in only:
                 proc_num += 1
                 continue
             argv = build_worker_argv(
-                cfg, dataset, path_to_save, hidden, trial, i_indices, betas, gammas
-            )
+                cfg, dataset, path_to_save, hidden, trial, ii, bb, gg
+            ) + list(extra)
             print(f"[MONITORER] Started experiment {proc_num}/{total}: model={cfg.model} "
                   f"dataset={stem} hidden={hidden}")
             try:
@@ -180,6 +196,9 @@ def main(argv=None) -> int:
                    help="run each experiment in a subprocess (reference behavior)")
     p.add_argument("--ngraphs", action="store_true",
                    help="use the multi-graph matrix defaults (monitorer-ngraphs)")
+    p.add_argument("--per_trial", action="store_true",
+                   help="legacy per-trial fan-out: one node-split worker per "
+                        "(trial, hidden) pair (many_graph_instances=False)")
     p.add_argument("--model", default=None)
     p.add_argument("--datasets", nargs="+", default=None)
     p.add_argument("--epochs", type=int, default=None)
@@ -190,6 +209,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     cfg = ngraphs_config() if args.ngraphs else MatrixConfig()
+    if args.per_trial:
+        cfg.many_graph_instances = False
     if args.model:
         cfg.model = args.model
     if args.datasets:
