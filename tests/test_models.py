@@ -48,6 +48,55 @@ def test_gnode_legacy_variant(random_graph):
     assert np.isfinite(np.asarray(pred)).all()
 
 
+def test_gnode_euler_step_analytic():
+    """Pin the GN-ODE vector field to the reference math on a 2-node graph.
+
+    With hidden=1 and hand-set weights, one euler step is computable by hand:
+      E_c = relu(w_e * c0 + b_e); Z_c = sigmoid(w_f * E_c + b_f)
+      dS = -beta * (A @ Z_I) * Z_S; dI = -dS - gamma * Z_I; dR = gamma * Z_I
+    (reference ode_nn_ngraph_sim.py:58-96,151-156)."""
+    from gn_ode_sir_tpu.graphs.graph import graph_from_edges
+    from gn_ode_sir_tpu.models.gnode import _get_func
+    from gn_ode_sir_tpu.odeint import odeint_grid
+
+    g = graph_from_edges(2, [(0, 1)])
+    adj = adjacency_from_graph(g, prefer_dense=True)
+    w_e, b_e, w_f, b_f = 2.0, -0.5, 1.5, 0.25
+    params = {
+        "enc": {"w": jnp.full((1, 1), w_e), "b": jnp.full((1,), b_e)},
+        "func": {"w": jnp.full((1, 1), w_f), "b": jnp.full((1,), b_f)},
+    }
+    s0 = np.array([[0.0, 1.0]], np.float32)  # node 0 infected, node 1 susceptible
+    i0 = np.array([[1.0, 0.0]], np.float32)
+    r0 = np.zeros((1, 2), np.float32)
+    beta, gamma = 0.4, 0.3
+
+    def enc(c):
+        return np.maximum(w_e * c + b_e, 0.0)
+
+    def sig(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    E = {c: enc(v[0]) for c, v in {"s": s0, "i": i0, "r": r0}.items()}
+    Z = {c: sig(w_f * E[c] + b_f) for c in E}
+    A = np.array([[0.0, 1.0], [1.0, 0.0]])
+    ds = -beta * (A @ Z["i"]) * Z["s"]
+    di = -ds - gamma * Z["i"]
+    dr = gamma * Z["i"]
+
+    func = _get_func("sigmoid", False)
+    y0 = tuple(jnp.asarray(E[c])[None, :, None] for c in ("s", "i", "r"))
+    ts = jnp.asarray([0.0, 0.5])
+    traj = odeint_grid(
+        func, y0, ts, (params, jnp.asarray([beta]), jnp.asarray([gamma]), adj),
+        method="euler", adjoint="direct",
+    )
+    got = [np.asarray(traj[k][1, 0, :, 0]) for k in range(3)]
+    expect = [E["s"] + 0.5 * ds, E["i"] + 0.5 * di, E["r"] + 0.5 * dr]
+    for a, b in zip(got, expect):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_gnode_learns(random_graph):
     """A few Adam steps on random-but-fixed labels must reduce the loss."""
     import optax
