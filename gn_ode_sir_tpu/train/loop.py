@@ -150,6 +150,12 @@ def fit(
 ) -> FitResult:
     """Full training protocol over a trial dataset.
 
+    ``adj_fn`` supplies per-minibatch connectivity. Preferred form: pass the
+    arrays via ``adj_aux`` (entered into the jitted program as ARGUMENTS —
+    closure-captured device arrays bake into the HLO as constants, bloating
+    or breaking compiles) and ``adj_fn(graph_idx_batch, aux) -> adjacency
+    pytree``; ``node_mask_fn`` follows the same convention. Without
+    ``adj_aux``, single-argument closures still work for small graphs.
     ``adj_fn(graph_idx_batch) -> adjacency pytree`` supplies connectivity per
     minibatch (constant closure for single-graph runs; per-trial gather for
     multi-graph). Mirrors the reference driver loop at
