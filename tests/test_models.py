@@ -163,6 +163,29 @@ def test_gnn_baselines(random_graph, cls):
     assert np.isfinite(np.asarray(out_t)).all()
 
 
+def test_gnode_backsolve_adjoint(random_graph):
+    """Backsolve-adjoint GNODE: identical forward, close gradients."""
+    g = random_graph
+    adj = adjacency_from_graph(g)
+    s0, i0, r0, beta, gamma = _toy_batch(g, B=2)
+    m_ck = GNODE(hidden=8, max_time=6, adjoint="checkpoint")
+    m_bs = GNODE(hidden=8, max_time=6, adjoint="backsolve")
+    params = m_ck.init(jax.random.PRNGKey(0))
+    a = m_ck.predict(params, adj, s0, i0, r0, beta, gamma)
+    b = m_bs.predict(params, adj, s0, i0, r0, beta, gamma)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    def loss(p, model):
+        pred = model.predict(p, adj, s0, i0, r0, beta, gamma)
+        return jnp.abs(pred - 0.5).mean()
+
+    g_ck = jax.grad(loss)(params, m_ck)
+    g_bs = jax.grad(loss)(params, m_bs)
+    for x, y in zip(jax.tree_util.tree_leaves(g_ck), jax.tree_util.tree_leaves(g_bs)):
+        # backsolve reconstructs the state in reverse: O(dt) drift expected
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=0.1, atol=2e-3)
+
+
 def test_dmp_matches_mc_on_tree():
     """DMP is exact on trees — marginals must match MC to sampling error.
 
