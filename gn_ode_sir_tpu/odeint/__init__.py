@@ -18,7 +18,11 @@ reference's per-step Python loop ``get_sir_t_nodes_torch`` (``ode_nn.py:249-261`
 from gn_ode_sir_tpu.odeint.solvers import METHODS, odeint_grid, step_fn
 from gn_ode_sir_tpu.odeint.adjoint import odeint_grid_backsolve
 from gn_ode_sir_tpu.odeint.dopri import odeint_grid_adaptive
-from gn_ode_sir_tpu.odeint.resample import integer_time_indices, resample_integer_times
+from gn_ode_sir_tpu.odeint.resample import (
+    integer_time_indices,
+    resample_expected_counts,
+    resample_integer_times,
+)
 
 __all__ = [
     "METHODS",
@@ -28,4 +32,5 @@ __all__ = [
     "step_fn",
     "integer_time_indices",
     "resample_integer_times",
+    "resample_expected_counts",
 ]

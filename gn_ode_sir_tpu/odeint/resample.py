@@ -20,3 +20,11 @@ def resample_integer_times(traj, max_time: int, delta_t: float):
     """Gather trajectory values (leading time axis) at integer times."""
     idx = integer_time_indices(max_time, delta_t)
     return traj[idx]
+
+
+def resample_expected_counts(traj, max_time: int, delta_t: float):
+    """Expected COUNT trajectory at integer times: sum over the node axis.
+
+    The ``count=True`` mode of the reference resamplers (``ode_nn.py:237-241``,
+    used for aggregate infected-count curves)."""
+    return resample_integer_times(traj, max_time, delta_t).sum(axis=1)

@@ -30,6 +30,12 @@ def test_parse_i_indices_forms():
     assert worker.parse_i_indices(["[25, 18]", "3", "1,2"]) == [[25, 18], [3], [1, 2]]
 
 
+@pytest.mark.parametrize("spmm", ["dense", "coo", "ell"])
+def test_worker_spmm_backends(tmp_path, spmm):
+    rc = worker.main(_base_argv(tmp_path, "ode_nn", extra=("--spmm", spmm)))
+    assert rc == 0
+
+
 @pytest.mark.parametrize("model", ["ode_nn", "GCN", "GIN", "dmp", "rk"])
 def test_worker_all_model_families(tmp_path, model):
     rc = worker.main(_base_argv(tmp_path, model))

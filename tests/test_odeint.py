@@ -134,3 +134,11 @@ def test_resample_integer_times():
     traj = np.arange(40)[:, None] * np.ones((40, 3))
     out = resample_integer_times(traj, max_time=20, delta_t=0.5)
     np.testing.assert_allclose(out[:, 0], [int(i / 0.5) for i in range(20)])
+
+
+def test_resample_expected_counts():
+    from gn_ode_sir_tpu.odeint import resample_expected_counts
+
+    traj = np.arange(40)[:, None] * np.ones((40, 3))  # [T_grid, n=3]
+    out = resample_expected_counts(traj, max_time=20, delta_t=0.5)
+    np.testing.assert_allclose(out, [3 * int(i / 0.5) for i in range(20)])
