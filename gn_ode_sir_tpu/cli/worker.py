@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MC simulator coin generation mode")
     p.add_argument("--sims_chunk", type=int, default=None,
                    help="MC simulator chunk size (HBM control for huge graphs)")
+    p.add_argument("--config", default=None,
+                   help="JSON ExperimentConfig file; its fields become flag "
+                        "defaults (explicit flags still win)")
     p.add_argument("--mg_adj", default="auto", choices=["auto", "coo", "dense"],
                    help="multi-graph adjacency backend (auto: dense-MXU blocks when the stack fits HBM, measured 2.7x faster and more robust than the COO scatter at 7k-node padding)")
     return p
@@ -463,8 +466,44 @@ def run_node_split(args):
     return 0
 
 
+# ExperimentConfig field -> CLI flag name (reference argv naming kept)
+_CONFIG_TO_FLAG = {
+    "model": "model", "hidden": "hidden", "lr": "lr", "epochs": "epochs",
+    "batch_size": "batch_size", "beta": "beta", "gamma": "gamma",
+    "delta_t": "deltaT", "max_time": "maxTime", "sim": "sim",
+    "dataset": "dataset", "path_to_save": "path_to_save",
+    "train_val_test_ratio": "train_val_test_ratio", "trial": "trial",
+    "method": "method", "adjoint": "adjoint", "seed": "seed",
+    "out_of_dist": "out_of_dist", "i_indices": "I_indices",
+}
+
+
+def _apply_config_defaults(parser, argv):
+    """Pre-scan for --config and install its fields as parser defaults
+    (explicit CLI flags still override)."""
+    import json
+
+    argv = list(argv) if argv is not None else None
+    probe, _ = parser.parse_known_args(argv)
+    if not probe.config:
+        return argv
+    with open(probe.config) as f:
+        cfg = json.load(f)
+    defaults = {}
+    for field, flag in _CONFIG_TO_FLAG.items():
+        if field in cfg and cfg[field] not in (None, [], ()):
+            v = cfg[field]
+            if field == "i_indices":
+                v = [str(list(s)) for s in v]
+            defaults[flag] = v
+    parser.set_defaults(**defaults)
+    return argv
+
+
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    argv = _apply_config_defaults(parser, argv)
+    args = parser.parse_args(argv)
     from gn_ode_sir_tpu.utils.config import ExperimentConfig
     from gn_ode_sir_tpu.utils.csvsink import csv_trials, save_trial_to_csv
 
