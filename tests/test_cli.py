@@ -66,6 +66,42 @@ def test_worker_multigraph(tmp_path):
     assert (tmp_path / "Metrics-trials-karate+dolphins").exists()
 
 
+def test_worker_config_json(tmp_path):
+    """--config supplies defaults; explicit flags still win."""
+    import json
+
+    cfg = {
+        "model": "ode_nn", "hidden": 8, "lr": 1e-3, "epochs": 2,
+        "batch_size": 4, "sim": 100, "max_time": 8, "dataset": KARATE,
+        "path_to_save": str(tmp_path),
+        "i_indices": [[25, 18], [1, 27], [16, 27], [4, 9], [2, 30]],
+        "beta": [0.47, 0.26, 0.23, 0.3, 0.41],
+        "gamma": [0.31, 0.33, 0.2, 0.25, 0.44],
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rc = worker.main(["--config", str(cfg_path), "--log_every", "10"])
+    assert rc == 0
+    assert (tmp_path / "Metrics-trials-karate").exists()
+    # explicit flag overrides the config value
+    rc = worker.main(["--config", str(cfg_path), "--epochs", "1",
+                      "--path_to_save", str(tmp_path / "o2"), "--log_every", "10"])
+    assert rc == 0
+
+
+def test_monitorer_per_trial_mode(tmp_path):
+    cfg = monitorer.MatrixConfig(
+        many_graph_instances=False, epochs=1, trials_per_number=2,
+        hidden_dim_array=(8,), datasets_array=(KARATE,), sim=100, max_time=8,
+        experiments_root=str(tmp_path), seed=3,
+    )
+    rc = monitorer.run_matrix(cfg)
+    assert rc == 0
+    # one node-split worker per trial -> per-trial label files exist
+    exp = tmp_path / "Experiments-seed2-karate"
+    assert len(list(exp.glob("karate-S-*.pkl"))) == 2
+
+
 def test_monitorer_matrix(tmp_path):
     cfg = monitorer.MatrixConfig(
         epochs=1, trials_per_number=3, hidden_dim_array=(8,),
