@@ -103,9 +103,9 @@ def build_worker_argv(cfg: MatrixConfig, dataset, path_to_save, hidden, trial,
 def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False) -> int:
     from gn_ode_sir_tpu.cli import worker
 
-    failures = 0
-    proc_num, trial = 1, 1
-    total = len(cfg.datasets_array) * len(cfg.hidden_dim_array)
+    # Enumerate the whole matrix up front so `total` (and `--only` numbering)
+    # is correct across datasets of differing trial counts.
+    all_jobs = []  # (dataset, stem, path_to_save, trial, hidden, ii, bb, gg, extra)
     for dataset in cfg.datasets_array:
         stem = os.path.basename(dataset)
         multigraph = "+" in stem
@@ -137,36 +137,37 @@ def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False) -> int:
                 for k in range(len(i_indices))
                 for hidden in cfg.hidden_dim_array
             ]
-            total = len(cfg.datasets_array) * len(jobs)
+        for trial, job in enumerate(jobs, start=1):
+            all_jobs.append((dataset, stem, path_to_save, trial) + job)
 
-        for hidden, ii, bb, gg, extra in jobs:
-            if only and proc_num not in only:
-                proc_num += 1
-                continue
-            argv = build_worker_argv(
-                cfg, dataset, path_to_save, hidden, trial, ii, bb, gg
-            ) + list(extra)
-            print(f"[MONITORER] Started experiment {proc_num}/{total}: model={cfg.model} "
-                  f"dataset={stem} hidden={hidden}")
-            try:
-                if use_subprocess:
-                    import subprocess
+    failures = 0
+    total = len(all_jobs)
+    for proc_num, (dataset, stem, path_to_save, trial, hidden, ii, bb, gg, extra) in (
+        enumerate(all_jobs, start=1)
+    ):
+        if only and proc_num not in only:
+            continue
+        argv = build_worker_argv(
+            cfg, dataset, path_to_save, hidden, trial, ii, bb, gg
+        ) + list(extra)
+        print(f"[MONITORER] Started experiment {proc_num}/{total}: model={cfg.model} "
+              f"dataset={stem} hidden={hidden}")
+        try:
+            if use_subprocess:
+                import subprocess
 
-                    rc = subprocess.call(
-                        [sys.executable, "-m", "gn_ode_sir_tpu.cli.worker", *argv]
-                    )
-                    if rc != 0:
-                        raise RuntimeError(f"worker exited with {rc}")
-                else:
-                    worker.main(argv)
-            except Exception:
-                print("[MONITORER] Oops! Something broke!")
-                traceback.print_exc()
-                failures += 1
-            proc_num += 1
-            trial += 1
-        trial = 1
-    print(f"[MONITORER] Completed {proc_num - 1} procedures, {failures} failures.")
+                rc = subprocess.call(
+                    [sys.executable, "-m", "gn_ode_sir_tpu.cli.worker", *argv]
+                )
+                if rc != 0:
+                    raise RuntimeError(f"worker exited with {rc}")
+            else:
+                worker.main(argv)
+        except Exception:
+            print("[MONITORER] Oops! Something broke!")
+            traceback.print_exc()
+            failures += 1
+    print(f"[MONITORER] Completed {total} procedures, {failures} failures.")
     return 1 if failures else 0
 
 
@@ -199,6 +200,8 @@ def main(argv=None) -> int:
     p.add_argument("--per_trial", action="store_true",
                    help="legacy per-trial fan-out: one node-split worker per "
                         "(trial, hidden) pair (many_graph_instances=False)")
+    p.add_argument("--config", default=None,
+                   help="JSON file of MatrixConfig fields (explicit flags win)")
     p.add_argument("--model", default=None)
     p.add_argument("--datasets", nargs="+", default=None)
     p.add_argument("--epochs", type=int, default=None)
@@ -209,6 +212,18 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     cfg = ngraphs_config() if args.ngraphs else MatrixConfig()
+    if args.config:
+        import json
+
+        with open(args.config) as f:
+            raw = json.load(f)
+        valid = {f.name for f in dataclasses.fields(MatrixConfig)}
+        unknown = set(raw) - valid
+        if unknown:
+            raise SystemExit(f"unknown MatrixConfig fields in {args.config}: "
+                             f"{sorted(unknown)}")
+        for k, v in raw.items():
+            setattr(cfg, k, tuple(v) if isinstance(v, list) else v)
     if args.per_trial:
         cfg.many_graph_instances = False
     if args.model:

@@ -107,6 +107,12 @@ def load_experiment(args):
 
     g = load_graph(args.dataset)
     i_indices = parse_i_indices(args.I_indices)
+    if not (len(args.beta) == len(args.gamma) == len(i_indices)):
+        raise SystemExit(
+            f"--I_indices/--beta/--gamma must align one value per trial: got "
+            f"{len(i_indices)} seed sets, {len(args.beta)} beta, "
+            f"{len(args.gamma)} gamma"
+        )
     os.makedirs(args.path_to_save, exist_ok=True)
 
     # persist trial parameters exactly like the reference (ode_nn_ngraph_sim.py:353-356)
@@ -228,6 +234,9 @@ def run_trainable(args, g, data, splits):
         ),
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
+        # out-of-dist runs need the per-trial test-loss vector for the first
+        # OOD CSV (ode_nn_ngraph_sim.py:483)
+        track_test_per_trial=args.out_of_dist,
     )
     if args.save_checkpoint:
         from gn_ode_sir_tpu.train import save_checkpoint
@@ -313,6 +322,14 @@ def run_multigraph(args):
 
     # trial parameters: provided flat via the reference argv encoding, or sampled
     i_indices = parse_i_indices(args.I_indices) if args.I_indices != ["12"] else None
+    if i_indices is not None and not (
+        len(args.beta) == len(args.gamma) == len(i_indices)
+    ):
+        raise SystemExit(
+            f"--I_indices/--beta/--gamma must align one value per trial: got "
+            f"{len(i_indices)} seed sets, {len(args.beta)} beta, "
+            f"{len(args.gamma)} gamma"
+        )
     per_graph_params = []
     rng = np.random.default_rng(args.seed)
     pos = 0
@@ -475,6 +492,9 @@ _CONFIG_TO_FLAG = {
     "train_val_test_ratio": "train_val_test_ratio", "trial": "trial",
     "method": "method", "adjoint": "adjoint", "seed": "seed",
     "out_of_dist": "out_of_dist", "i_indices": "I_indices",
+    "spmm": "spmm", "coins": "coins", "mg_adj": "mg_adj",
+    "sims_chunk": "sims_chunk", "instances_per_graph": "instances_per_graph",
+    "node_split": "node_split", "eval_batch_size": "eval_batch_size",
 }
 
 
@@ -546,7 +566,15 @@ def main(argv=None):
             loss_baseline, res.test_time, rk_time,
         )
     else:
-        # out-of-dist runs write the two extra CSVs (ode_nn_ngraph_sim.py:482-484)
+        # out-of-dist runs write the two extra CSVs (ode_nn_ngraph_sim.py:482-484):
+        # (1) per-test-trial losses, header = test trial indices (:483)
+        test_idx = splits[2]
+        csv_trials(
+            os.path.join(args.path_to_save, f"Out-of-dist-gamma-{dataset_name}"),
+            [str(int(i)) for i in test_idx],
+            [float(x) for x in res.test_loss_all],
+        )
+        # (2) the per-run summary row (:484)
         csv_trials(
             os.path.join(args.path_to_save, f"Out-of-dist-gamma-trials-{dataset_name}"),
             ["trial", "model", "lr", "epochs", "deltaT", "maxTime", "hidden",

@@ -26,7 +26,7 @@ from functools import partial
 import numpy as onp
 
 from gn_ode_sir_tpu.ops.segment import segment_sum
-from gn_ode_sir_tpu.train.loss import l1_sir_loss
+from gn_ode_sir_tpu.train.loss import l1_sir_loss_sums
 
 
 def _local_spmm(src, dst, w, x, n_nodes):
@@ -112,17 +112,26 @@ def make_spmd_train_step(model, optimizer, adj_fn, mesh, axis: str = "data") -> 
     """
 
     def local_step(params, opt_state, batch):
+        # The global item-weighted mean is psum(numerator)/psum(weight-sum):
+        # pmean of per-shard means would be wrong whenever trial weights or
+        # padding distribute unevenly across data shards.
         def loss_fn(p):
             adj = adj_fn(batch["graph_idx"])
             pred = model.predict(
                 p, adj, batch["s0"], batch["i0"], batch["r0"],
                 batch["beta"], batch["gamma"],
             )
-            return l1_sir_loss(pred, batch["labels"], trial_weight=batch.get("weight"))
+            num, den = l1_sir_loss_sums(
+                pred, batch["labels"], trial_weight=batch.get("weight")
+            )
+            return num, den
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
+        (num, den), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        den_tot = jax.lax.psum(den, axis)
+        loss = jax.lax.psum(num, axis) / den_tot
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, axis) / den_tot, grads
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -172,11 +181,17 @@ def make_spmd_train_step_2d(
                 p, adj, batch["s0"], batch["i0"], batch["r0"],
                 batch["beta"], batch["gamma"],
             )
-            return l1_sir_loss(pred, batch["labels"], trial_weight=batch.get("weight"))
+            num, den = l1_sir_loss_sums(
+                pred, batch["labels"], trial_weight=batch.get("weight")
+            )
+            return num, den
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads = jax.lax.pmean(grads, data_axis)
-        loss = jax.lax.pmean(loss, data_axis)
+        (num, den), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        den_tot = jax.lax.psum(den, data_axis)
+        loss = jax.lax.psum(num, data_axis) / den_tot
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, data_axis) / den_tot, grads
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

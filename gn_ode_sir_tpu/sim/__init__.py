@@ -7,7 +7,17 @@ with ONE vectorized simulator: all simulations advance together as a
 sims x T loop of tiny kernels, no per-step host sync.
 """
 
-from gn_ode_sir_tpu.sim.mc_sir import simulate_sir, simulate_sir_counts
+from gn_ode_sir_tpu.sim.mc_sir import (
+    simulate_sir,
+    simulate_sir_counts,
+    simulate_sir_per_sim,
+)
 from gn_ode_sir_tpu.sim.classical import sir_classical, sir_field
 
-__all__ = ["simulate_sir", "simulate_sir_counts", "sir_classical", "sir_field"]
+__all__ = [
+    "simulate_sir",
+    "simulate_sir_counts",
+    "simulate_sir_per_sim",
+    "sir_classical",
+    "sir_field",
+]

@@ -55,6 +55,50 @@ def _device_adjacency(graph: Graph, dtype) -> jax.Array:
     return arr
 
 
+def _sir_transition(s, i, r, a_bf16, log1m_beta, gamma, key, t, coins):
+    """One synchronous SIR step on the [sims, n] state matrix."""
+    sims, n = s.shape
+    k = jax.random.fold_in(key, t)
+    # infected-neighbor counts via MXU matmul (A symmetric, {0,1})
+    counts = jnp.dot(
+        i.astype(jnp.bfloat16), a_bf16, preferred_element_type=jnp.float32
+    )
+    if coins == "pallas":
+        # fused coins+update with the on-chip hardware PRNG (TPU only)
+        from gn_ode_sir_tpu.sim.pallas_step import sir_update_pallas
+
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32) + t
+        return sir_update_pallas(
+            s, i, r, counts, log1m_beta, gamma, seed
+        )
+    p_inf = -jnp.expm1(counts * log1m_beta)  # 1 - (1-beta)^k, stable
+    if coins == "bits16":
+        w = jax.random.bits(k, (sims, n), jnp.uint32)
+        u = (w & 0xFFFF).astype(jnp.float32)
+        v = (w >> 16).astype(jnp.float32)
+        new_inf = s * (u < p_inf * 65536.0)
+        new_rec = i * (v < gamma * 65536.0)
+    elif coins == "bits32":
+        ku, kv = jax.random.split(k)
+        u = jax.random.bits(ku, (sims, n), jnp.uint32).astype(jnp.float32)
+        v = jax.random.bits(kv, (sims, n), jnp.uint32).astype(jnp.float32)
+        new_inf = s * (u < p_inf * 4294967296.0)
+        new_rec = i * (v < gamma * 4294967296.0)
+    else:  # uniform
+        ku, kv = jax.random.split(k)
+        u = jax.random.uniform(ku, (sims, n))
+        v = jax.random.uniform(kv, (sims, n))
+        new_inf = s * (u < p_inf)
+        new_rec = i * (v < gamma)
+    return s - new_inf, i + new_inf - new_rec, r + new_rec
+
+
+def _init_state(seeds_mask, sims):
+    n = seeds_mask.shape[0]
+    i0 = jnp.broadcast_to(seeds_mask, (sims, n)).astype(jnp.float32)
+    return 1.0 - i0, i0, jnp.zeros((sims, n), jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("sims", "max_time", "coins"))
 def _simulate_chunk(a_bf16, seeds_mask, beta, gamma, key, *, sims: int,
                     max_time: int, coins: str = "bits16"):
@@ -62,57 +106,35 @@ def _simulate_chunk(a_bf16, seeds_mask, beta, gamma, key, *, sims: int,
 
     Sums of 0/1 indicators are integers, exact in f32 up to 2^24.
     """
-    n = seeds_mask.shape[0]
-    i0 = jnp.broadcast_to(seeds_mask, (sims, n)).astype(jnp.float32)
-    s0 = 1.0 - i0
-    r0 = jnp.zeros_like(i0)
-
+    s0, i0, r0 = _init_state(seeds_mask, sims)
     log1m_beta = jnp.log1p(-beta)
+    gamma = jnp.float32(gamma)
 
     def step(carry, t):
-        s, i, r = carry
-        k = jax.random.fold_in(key, t)
-        # infected-neighbor counts via MXU matmul (A symmetric, {0,1})
-        counts = jnp.dot(
-            i.astype(jnp.bfloat16), a_bf16, preferred_element_type=jnp.float32
-        )
-        if coins == "pallas":
-            # fused coins+update with the on-chip hardware PRNG (TPU only)
-            from gn_ode_sir_tpu.sim.pallas_step import sir_update_pallas
-
-            seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32) + t
-            s, i, r = sir_update_pallas(
-                s, i, r, counts, log1m_beta, jnp.float32(gamma), seed
-            )
-            return (s, i, r), jnp.stack([s.sum(0), i.sum(0), r.sum(0)])
-        p_inf = -jnp.expm1(counts * log1m_beta)  # 1 - (1-beta)^k, stable
-        if coins == "bits16":
-            w = jax.random.bits(k, (sims, n), jnp.uint32)
-            u = (w & 0xFFFF).astype(jnp.float32)
-            v = (w >> 16).astype(jnp.float32)
-            new_inf = s * (u < p_inf * 65536.0)
-            new_rec = i * (v < gamma * 65536.0)
-        elif coins == "bits32":
-            ku, kv = jax.random.split(k)
-            u = jax.random.bits(ku, (sims, n), jnp.uint32).astype(jnp.float32)
-            v = jax.random.bits(kv, (sims, n), jnp.uint32).astype(jnp.float32)
-            new_inf = s * (u < p_inf * 4294967296.0)
-            new_rec = i * (v < gamma * 4294967296.0)
-        else:  # uniform
-            ku, kv = jax.random.split(k)
-            u = jax.random.uniform(ku, (sims, n))
-            v = jax.random.uniform(kv, (sims, n))
-            new_inf = s * (u < p_inf)
-            new_rec = i * (v < gamma)
-        s = s - new_inf
-        i = i + new_inf - new_rec
-        r = r + new_rec
-        sums = jnp.stack([s.sum(0), i.sum(0), r.sum(0)])
-        return (s, i, r), sums
+        s, i, r = _sir_transition(*carry, a_bf16, log1m_beta, gamma, key, t, coins)
+        return (s, i, r), jnp.stack([s.sum(0), i.sum(0), r.sum(0)])
 
     _, sums = jax.lax.scan(step, (s0, i0, r0), jnp.arange(1, max_time))
     sums0 = jnp.stack([s0.sum(0), i0.sum(0), r0.sum(0)])[None]
     return jnp.concatenate([sums0, sums], axis=0)  # [T, 3, n]
+
+
+@partial(jax.jit, static_argnames=("sims", "max_time", "coins"))
+def _simulate_chunk_per_sim(a_bf16, seeds_mask, beta, gamma, key, *, sims: int,
+                            max_time: int, coins: str = "bits16"):
+    """Per-simulation indicator trajectories, [3, T, sims, n] uint8."""
+    s0, i0, r0 = _init_state(seeds_mask, sims)
+    log1m_beta = jnp.log1p(-beta)
+    gamma = jnp.float32(gamma)
+
+    def step(carry, t):
+        s, i, r = _sir_transition(*carry, a_bf16, log1m_beta, gamma, key, t, coins)
+        out = jnp.stack([s, i, r]).astype(jnp.uint8)
+        return (s, i, r), out
+
+    _, states = jax.lax.scan(step, (s0, i0, r0), jnp.arange(1, max_time))
+    state0 = jnp.stack([s0, i0, r0]).astype(jnp.uint8)[None]
+    return jnp.concatenate([state0, states], axis=0).transpose(1, 0, 2, 3)
 
 
 def simulate_sir_counts(
@@ -166,6 +188,41 @@ def simulate_sir_counts(
         done += c
         chunk_id += 1
     return total
+
+
+def simulate_sir_per_sim(
+    graph: Graph,
+    seed_nodes,
+    beta: float,
+    gamma: float,
+    *,
+    sims: int = 1000,
+    max_time: int = 20,
+    key=None,
+    coins: str = "bits16",
+):
+    """Per-simulation indicator trajectories (S, I, R), each [sims, T, n] uint8.
+
+    The reference's ``sir_pandas`` keeps full per-sim indicator tensors
+    (``ode_nn.py:104-106``) enabling variance/quantile analyses over
+    simulations; :func:`simulate_sir_counts` only keeps running sums. This is
+    the opt-in full-trajectory path — memory is sims*T*n bytes per channel,
+    so chunk externally for very large graphs.
+    """
+    if coins not in _COIN_MODES:
+        raise ValueError(f"coins must be one of {_COIN_MODES}, got {coins!r}")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    a = _device_adjacency(graph, jnp.bfloat16)
+    seeds_mask = np.zeros(graph.n_nodes, np.float32)
+    seeds_mask[np.asarray(seed_nodes)] = 1.0
+    states = _simulate_chunk_per_sim(
+        a, jnp.asarray(seeds_mask), float(beta), float(gamma), key,
+        sims=sims, max_time=max_time, coins=coins,
+    )
+    states = np.asarray(states)  # [3, T, sims, n]
+    s, i, r = states[0], states[1], states[2]
+    return s.transpose(1, 0, 2), i.transpose(1, 0, 2), r.transpose(1, 0, 2)
 
 
 def simulate_sir(

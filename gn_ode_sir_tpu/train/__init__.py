@@ -16,7 +16,13 @@ from gn_ode_sir_tpu.train.data import (
     out_of_dist_split,
     split_indices,
 )
-from gn_ode_sir_tpu.train.loop import FitResult, fit, make_eval_fn, make_train_epoch_fn
+from gn_ode_sir_tpu.train.loop import (
+    FitResult,
+    fit,
+    make_eval_fn,
+    make_eval_per_trial_fn,
+    make_train_epoch_fn,
+)
 from gn_ode_sir_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from gn_ode_sir_tpu.train.multigraph import (
     assemble_multigraph_trials,
@@ -35,6 +41,7 @@ __all__ = [
     "FitResult",
     "fit",
     "make_eval_fn",
+    "make_eval_per_trial_fn",
     "make_train_epoch_fn",
     "save_checkpoint",
     "restore_checkpoint",

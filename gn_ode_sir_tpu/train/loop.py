@@ -111,6 +111,31 @@ def make_eval_fn(model, adj_fn, node_mask_fn=None) -> Callable:
     return evaluate
 
 
+def make_eval_per_trial_fn(model, adj_fn, node_mask_fn=None) -> Callable:
+    """Per-trial evaluation: loss vector [len(idx)], one entry per trial.
+
+    The reference's ``test`` collects a per-batch loss list ``test_loss_all``
+    (``ode_nn_ngraph_sim.py:281-295``; batch_size=1 at the monitorer defaults
+    makes it per-trial) which feeds the first out-of-dist CSV (``:483``).
+    Here each trial is one scan step (a batch of one), so the vector is
+    per-trial regardless of the training batch size.
+    """
+
+    @jax.jit
+    def evaluate_per_trial(params, d, idx):
+        def step(_, i):
+            bidx = i[None]
+            loss, _ = _batch_loss(
+                model, params, adj_fn, node_mask_fn, d, bidx, jnp.ones((1,))
+            )
+            return 0, loss
+
+        _, losses = jax.lax.scan(step, 0, jnp.asarray(idx, jnp.int32))
+        return losses
+
+    return evaluate_per_trial
+
+
 @dataclasses.dataclass
 class FitResult:
     params: Any
@@ -121,6 +146,7 @@ class FitResult:
     test_time: float
     history: list  # (epoch, train_loss, val_loss)
     epoch_times: list
+    test_loss_all: Any = None  # per-trial test losses at the best-val epoch
 
 
 def fit(
@@ -147,6 +173,7 @@ def fit(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    track_test_per_trial: bool = False,
 ) -> FitResult:
     """Full training protocol over a trial dataset.
 
@@ -167,6 +194,10 @@ def fit(
     opt_state = optimizer.init(params)
     train_epoch = make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn)
     evaluate = make_eval_fn(model, adj_fn, node_mask_fn)
+    evaluate_per_trial = (
+        make_eval_per_trial_fn(model, adj_fn, node_mask_fn)
+        if track_test_per_trial else None
+    )
 
     ebs = eval_batch_size or max(batch_size, 8)
     rng = np.random.default_rng(seed)
@@ -178,6 +209,7 @@ def fit(
     best_val = float("inf")
     best_epoch = -1
     test_loss = float("nan")
+    test_loss_all = None
     test_time = 0.0
     history, epoch_times = [], []
     start_epoch = 0
@@ -204,10 +236,12 @@ def fit(
     def _save(epoch):
         from gn_ode_sir_tpu.train.checkpoint import save_checkpoint
 
+        # NaN test_loss (no val improvement yet) is persisted as-is: coercing
+        # it to 0.0 would restore as a fake perfect score on resume.
         save_checkpoint(checkpoint_dir, {
             "params": params, "opt_state": opt_state, "epoch": epoch,
             "best_val": best_val, "best_epoch": best_epoch,
-            "test_loss": 0.0 if test_loss != test_loss else test_loss,
+            "test_loss": test_loss,
         })
 
     base_key = jax.random.PRNGKey(seed + 1)
@@ -240,6 +274,10 @@ def fit(
             best_epoch = epoch
             t1 = time.perf_counter()
             test_loss = float(evaluate(params, d, test_bi, test_bw))
+            if evaluate_per_trial is not None:
+                test_loss_all = np.asarray(
+                    evaluate_per_trial(params, d, np.asarray(test_idx, np.int32))
+                )
             test_time = time.perf_counter() - t1
         if verbose and (epoch % log_every == 0 or epoch == epochs - 1):
             print(
@@ -262,4 +300,5 @@ def fit(
         test_time=test_time,
         history=history,
         epoch_times=epoch_times,
+        test_loss_all=test_loss_all,
     )

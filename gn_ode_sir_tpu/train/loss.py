@@ -21,6 +21,29 @@ def masked_l1(pred, target, weight=None, eps: float = 1e-12):
     return (err * w).sum() / (w.sum() + eps)
 
 
+def l1_sir_loss_sums(pred_tbnc, labels_btnc, trial_weight=None, node_mask=None):
+    """Weighted |error| numerator and weight-sum denominator, unreduced.
+
+    Same quantity as :func:`l1_sir_loss` split into (numerator, denominator)
+    so distributed callers can ``psum`` each separately and divide — the
+    global item-weighted mean is NOT the mean of per-shard means when trial
+    weights/padding are uneven across shards.
+    """
+    pred = jnp.transpose(pred_tbnc, (1, 0, 2, 3))[:, 1:]
+    target = labels_btnc[:, 1:]
+    err = jnp.abs(pred - target)
+    weight = None
+    if trial_weight is not None:
+        weight = trial_weight[:, None, None, None]
+    if node_mask is not None:
+        nm = node_mask[:, None, :, None]
+        weight = nm if weight is None else weight * nm
+    if weight is None:
+        return err.sum(), jnp.asarray(err.size, err.dtype)
+    w = jnp.broadcast_to(weight, err.shape)
+    return (err * w).sum(), w.sum()
+
+
 def l1_sir_loss(pred_tbnc, labels_btnc, trial_weight=None, node_mask=None):
     """MAE over t >= 1.
 

@@ -82,30 +82,37 @@ def fit_node_split(
 
     @jax.jit
     def step(params, opt_state):
+        # train and val come from the same pre-update forward pass
+        # (ode_nn.py:426-464); test is evaluated separately AFTER the
+        # optimizer step, as the reference calls test() post-step (:586-594).
         def loss_fn(p):
             pred = model.predict(p, adj, s0, i0, r0, beta_a, gamma_a)[:, 0]
             train = node_loss(pred, idx_train)
             val = node_loss(pred, idx_val)
-            test = node_loss(pred, idx_test)
-            return train, (val, test)
+            return train, val
 
-        (train, (val, test)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (train, val), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, train, val, test
+        return params, opt_state, train, val
+
+    @jax.jit
+    def test_eval(params):
+        pred = model.predict(params, adj, s0, i0, r0, beta_a, gamma_a)[:, 0]
+        return node_loss(pred, idx_test)
 
     best_val = float("inf")
     best_epoch, test_loss, test_time = -1, float("nan"), 0.0
     history = []
     for epoch in range(epochs):
         t0 = time.perf_counter()
-        params, opt_state, train, val, test = step(params, opt_state)
+        params, opt_state, train, val = step(params, opt_state)
         train, val = float(train), float(val)
         history.append((epoch, train, val))
         if val <= best_val:  # reference uses <= here (ode_nn.py:586)
             best_val = val
             best_epoch = epoch
-            test_loss = float(test)
+            test_loss = float(test_eval(params))  # post-update params
             test_time = time.perf_counter() - t0
         if verbose and (epoch % log_every == 0 or epoch == epochs - 1):
             print(f"Epoch: {epoch:03d}, Train Loss: {train:.5f}, Val Loss: {val:.5f}")

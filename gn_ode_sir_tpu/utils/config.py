@@ -39,6 +39,15 @@ class ExperimentConfig:
     # solver
     method: str = "euler"
     adjoint: str = "checkpoint"
+    # protocol variants
+    node_split: bool = False  # legacy transductive protocol (ode_nn.py path)
+    instances_per_graph: Sequence[int] | None = None  # multi-graph trial counts
+    # performance knobs
+    spmm: str = "auto"  # GN-ODE message-passing backend: auto|dense|coo|ell
+    coins: str = "bits16"  # MC simulator coin mode: bits16|bits32|uniform|pallas
+    mg_adj: str = "auto"  # multi-graph adjacency backend: auto|coo|dense
+    sims_chunk: int | None = None  # MC simulator HBM chunking
+    eval_batch_size: int = 8
     # runtime
     seed: int = 0
     mesh_shape: Sequence[int] = ()

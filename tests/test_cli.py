@@ -89,10 +89,63 @@ def test_worker_config_json(tmp_path):
     assert rc == 0
 
 
-def test_monitorer_per_trial_mode(tmp_path):
+def test_worker_out_of_dist_csvs(tmp_path):
+    """--out_of_dist writes BOTH reference CSVs (ode_nn_ngraph_sim.py:482-484):
+    the per-test-trial loss vector keyed by trial indices, and the summary."""
+    rc = worker.main(_base_argv(tmp_path, "ode_nn", extra=["--out_of_dist"]))
+    assert rc == 0
+    per_trial = tmp_path / "Out-of-dist-gamma-karate"
+    summary = tmp_path / "Out-of-dist-gamma-trials-karate"
+    assert per_trial.exists() and summary.exists()
+    import csv
+
+    with open(per_trial) as f:
+        rows = list(csv.reader(f))
+    header, losses = rows[0], rows[1]
+    # header = test trial indices; one loss per test trial
+    assert len(header) == len(losses) >= 1
+    assert all(idx.isdigit() for idx in header)
+    assert all(0.0 <= float(x) <= 1.0 for x in losses)
+    with open(summary) as f:
+        srows = list(csv.reader(f))
+    assert srows[0][:3] == ["trial", "model", "lr"]
+    # summary test_loss == mean of the per-trial losses (batch-of-1 semantics)
+    test_loss = float(srows[1][srows[0].index("test_loss")])
+    assert abs(test_loss - np.mean([float(x) for x in losses])) < 1e-5
+
+
+def test_worker_beta_gamma_length_mismatch(tmp_path):
+    argv = _base_argv(tmp_path)
+    argv = argv[: argv.index("--gamma") + 3]  # truncate gamma to 2 of 5
+    with pytest.raises(SystemExit):
+        worker.main(argv)
+
+
+def test_monitorer_config_json(tmp_path):
+    import json
+
+    cfg_path = tmp_path / "matrix.json"
+    cfg_path.write_text(json.dumps({
+        "epochs": 1, "trials_per_number": 2, "hidden_dim_array": [8],
+        "datasets_array": [KARATE], "sim": 100, "max_time": 8,
+        "batch_size": 2, "experiments_root": str(tmp_path), "seed": 5,
+    }))
+    rc = monitorer.main(["--config", str(cfg_path)])
+    assert rc == 0
+    assert (tmp_path / "Experiments-seed2-karate" / "initial-seed.pkl").exists()
+    # unknown fields are rejected loudly
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"epoch": 1}))
+    with pytest.raises(SystemExit):
+        monitorer.main(["--config", str(bad)])
+
+
+def test_monitorer_per_trial_mode(tmp_path, capsys):
     cfg = monitorer.MatrixConfig(
         many_graph_instances=False, epochs=1, trials_per_number=2,
-        hidden_dim_array=(8,), datasets_array=(KARATE,), sim=100, max_time=8,
+        hidden_dim_array=(8,),
+        datasets_array=(KARATE, "/root/reference/real_graphs/dolphins"),
+        sim=100, max_time=8,
         experiments_root=str(tmp_path), seed=3,
     )
     rc = monitorer.run_matrix(cfg)
@@ -100,6 +153,10 @@ def test_monitorer_per_trial_mode(tmp_path):
     # one node-split worker per trial -> per-trial label files exist
     exp = tmp_path / "Experiments-seed2-karate"
     assert len(list(exp.glob("karate-S-*.pkl"))) == 2
+    # `total` counts the WHOLE matrix across datasets (2 trials x 2 datasets)
+    out = capsys.readouterr().out
+    assert "Started experiment 1/4:" in out
+    assert "Started experiment 4/4:" in out
 
 
 def test_monitorer_matrix(tmp_path):
