@@ -102,27 +102,45 @@ class EdgeShardedCooAdj:
         return cls(*children, n_nodes=aux[0], axis=aux[1])
 
 
-def make_spmd_train_step(model, optimizer, adj_fn, mesh, axis: str = "data") -> Callable:
+def make_spmd_train_step(
+    model, optimizer, adj_fn, mesh, axis: str = "data",
+    aux_example=None, node_mask_fn=None,
+) -> Callable:
     """Data-parallel train step: batch sharded on ``axis``, params replicated.
 
     Returns ``step(params, opt_state, batch) -> (params, opt_state, loss)``
     where ``batch`` is a dict with leading batch axes divisible by the mesh
     axis size: s0/i0/r0 [B, n], beta/gamma/weight [B], labels [B, T, n, 3],
     graph_idx [B].
-    """
 
-    def local_step(params, opt_state, batch):
+    Multi-graph batches: pass ``aux_example`` (the per-graph connectivity
+    dict from :func:`gn_ode_sir_tpu.train.multigraph_adj_fns` — replicated
+    across the mesh; per-trial rows are gathered on device) and the step
+    becomes ``step(params, opt_state, batch, aux)``; ``adj_fn``/
+    ``node_mask_fn`` then take ``(graph_idx, aux)``, the same convention as
+    :func:`gn_ode_sir_tpu.train.fit`. The aux rides as an ARGUMENT — closure
+    capture would bake it into the HLO as a constant.
+    """
+    use_aux = aux_example is not None
+
+    def local_step(params, opt_state, batch, aux):
         # The global item-weighted mean is psum(numerator)/psum(weight-sum):
         # pmean of per-shard means would be wrong whenever trial weights or
         # padding distribute unevenly across data shards.
+        gi = batch["graph_idx"]
+        node_mask = None
+        if node_mask_fn is not None:
+            node_mask = node_mask_fn(gi, aux) if use_aux else node_mask_fn(gi)
+
         def loss_fn(p):
-            adj = adj_fn(batch["graph_idx"])
+            adj = adj_fn(gi, aux) if use_aux else adj_fn(gi)
             pred = model.predict(
                 p, adj, batch["s0"], batch["i0"], batch["r0"],
                 batch["beta"], batch["gamma"],
             )
             num, den = l1_sir_loss_sums(
-                pred, batch["labels"], trial_weight=batch.get("weight")
+                pred, batch["labels"], trial_weight=batch.get("weight"),
+                node_mask=node_mask,
             )
             return num, den
 
@@ -147,8 +165,19 @@ def make_spmd_train_step(model, optimizer, adj_fn, mesh, axis: str = "data") -> 
         "graph_idx": P(axis),
     }
 
+    if use_aux:
+        aux_specs = jax.tree_util.tree_map(lambda _: P(), aux_example)
+        sharded = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), batch_specs, aux_specs),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
     sharded = jax.shard_map(
-        local_step,
+        lambda p, o, b: local_step(p, o, b, None),
         mesh=mesh,
         in_specs=(P(), P(), batch_specs),
         out_specs=(P(), P(), P()),

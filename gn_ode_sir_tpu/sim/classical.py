@@ -27,6 +27,19 @@ def sir_field(t, y, args):
     return (ds, di, dr)
 
 
+def sir_field_adj(t, y, args):
+    """Same field through an adjacency pytree's ``matvec`` — the sparse path
+    for graphs whose dense adjacency would not fit (enron: 33,696^2 f32 is
+    4.5 GB; the ELL/COO pytrees carry only the 361k directed edges)."""
+    adj, beta, gamma = args
+    s, i, r = y
+    ai = adj.matvec(i[None, :, None])[0, :, 0]
+    ds = -beta * ai * s
+    di = -ds - gamma * i
+    dr = gamma * i
+    return (ds, di, dr)
+
+
 def sir_classical(
     graph,
     seed_nodes,
@@ -63,13 +76,17 @@ def sir_classical(
         sol = odeintscp(field, np.hstack([s0, i0, r0]), ts)
         s_t, i_t, r_t = sol[:, :n], sol[:, n : 2 * n], sol[:, 2 * n :]
     else:
+        from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
+
         ts = jnp.arange(0.0, max_time, delta_t, dtype=jnp.float32)
-        a = jnp.asarray(graph.dense_adjacency)
+        # auto backend: dense MXU for small graphs, bucketed ELL at scale
+        # (keeps the enron baseline off the 4.5 GB dense adjacency)
+        adj = adjacency_from_graph(graph)
         traj = odeint_grid(
-            sir_field,
+            sir_field_adj,
             (jnp.asarray(s0, jnp.float32), jnp.asarray(i0, jnp.float32), jnp.asarray(r0, jnp.float32)),
             ts,
-            (a, float(beta), float(gamma)),
+            (adj, float(beta), float(gamma)),
             method=method,
             adjoint="direct",
         )

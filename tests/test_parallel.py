@@ -139,6 +139,73 @@ def test_2d_spmd_train_step_equals_single_device(random_graph):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_spmd_multigraph_coo_equals_single_device(mesh):
+    """Per-sample padded CooAdj multigraph aux under data-parallel sharding:
+    the [B, E] edge gather rides the data axis while the per-graph aux stays
+    replicated; step must equal the single-device weighted/masked step.
+    This is the mis-shard-prone case VERDICT r1 flagged as untested."""
+    from gn_ode_sir_tpu.graphs import load_graph, pad_graphs
+    from gn_ode_sir_tpu.train import multigraph_adj_fns
+    from gn_ode_sir_tpu.train.loss import l1_sir_loss
+
+    graphs = [load_graph("none", n_random=n, seed=s) for n, s in ((12, 0), (20, 1), (16, 2))]
+    batch_g = pad_graphs(graphs, node_multiple=4, edge_multiple=16)
+    adj_fn, node_mask_fn, aux = multigraph_adj_fns(batch_g, kind="coo")
+    aux = jax.tree_util.tree_map(jnp.asarray, aux)
+
+    model = GNODE(hidden=8, max_time=8)
+    params = model.init(jax.random.PRNGKey(0))
+    # SGD so the param comparison is a direct gradient comparison (Adam's
+    # first-step sign normalization amplifies FP summation-order noise)
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(params)
+    step = make_spmd_train_step(
+        model, opt, adj_fn, mesh, aux_example=aux, node_mask_fn=node_mask_fn
+    )
+
+    B, n_max = 8, batch_g.n_max
+    rng = np.random.default_rng(7)
+    graph_idx = np.asarray([0, 1, 2, 1, 0, 2, 1, 0], np.int32)
+    i0 = np.zeros((B, n_max), np.float32)
+    for b, g_i in enumerate(graph_idx):
+        nn = int(batch_g.n_nodes[g_i])
+        i0[b, rng.choice(nn, 2, replace=False)] = 1
+    node_mask = np.asarray(batch_g.node_mask)[graph_idx]
+    # uneven trial weights across shards (the case pmean aggregation broke)
+    weight = jnp.asarray(rng.uniform(0.2, 2.0, B), jnp.float32)
+    batch = {
+        "s0": jnp.asarray((1 - i0) * node_mask),
+        "i0": jnp.asarray(i0),
+        "r0": jnp.zeros((B, n_max)),
+        "beta": jnp.full((B,), 0.3),
+        "gamma": jnp.full((B,), 0.2),
+        "weight": weight,
+        "labels": jnp.asarray(rng.random((B, 8, n_max, 3)), jnp.float32),
+        "graph_idx": jnp.asarray(graph_idx),
+    }
+    p_spmd, _, loss_spmd = step(params, opt_state, batch, aux)
+
+    adj_full = adj_fn(batch["graph_idx"], aux)
+    nm_full = node_mask_fn(batch["graph_idx"], aux)
+
+    def loss_fn(p):
+        pred = model.predict(
+            p, adj_full, batch["s0"], batch["i0"], batch["r0"],
+            batch["beta"], batch["gamma"],
+        )
+        return l1_sir_loss(
+            pred, batch["labels"], trial_weight=batch["weight"], node_mask=nm_full
+        )
+
+    loss_ref, grads = jax.value_and_grad(loss_fn)(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_ref = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(loss_spmd), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_spmd), jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_edge_sharded_spmm(random_graph, mesh):
     g = random_graph
     rng = np.random.default_rng(1)
