@@ -5,6 +5,16 @@ directories (e.g. ``multi-graph-1/Experiments-seed2-karate``) load directly:
 files named ``<graph>-{S,I,R}-<i1>-<i2>.pkl`` holding [max_time, n] float64
 probability arrays (``ode_nn_ngraph_sim.py:190-206``).
 
+CACHE-KEY FIX (DEVIATIONS.md #15): the reference keys the cache by SEED SET
+ONLY, so two trials sharing a seed set but with different (beta, gamma)
+collide — the second trial silently trains/evaluates on the first trial's
+labels (23 of the 200 shipped karate trials collide; e.g. trials 63/65 both
+map to ``karate-*-13-18.pkl``, which holds the beta=0.449 labels while trial
+65 has beta=0.186). New labels are therefore WRITTEN under a
+(seeds, beta, gamma)-tagged name; reads try the exact-tagged name first and
+fall back to the reference's seeds-only name so shipped experiment
+directories keep loading (with the reference's own collision semantics).
+
 Normalization quirk reproduced: some reference datasets (wiki-vote, enron)
 were cached as raw indicator COUNTS and divided by ``sim`` at load time
 (``ode_nn_ngraphs.py:168-171``). We auto-detect: values above 1.5 cannot be
@@ -19,18 +29,34 @@ import pickle
 import numpy as np
 
 
-def label_paths(save_dir: str, graph_name: str, seed_nodes) -> dict:
+def label_paths(save_dir: str, graph_name: str, seed_nodes,
+                beta: float | None = None, gamma: float | None = None) -> dict:
+    """Pickle paths for one trial. With ``beta``/``gamma`` given, the name
+    carries the full trial key; without, the reference's seeds-only name."""
     tag = "-".join(str(int(i)) for i in seed_nodes)
+    if beta is not None and gamma is not None:
+        tag = f"{tag}-b{float(beta):.6g}-g{float(gamma):.6g}"
     return {
         c: os.path.join(save_dir, f"{graph_name}-{c}-{tag}.pkl") for c in ("S", "I", "R")
     }
 
 
-def load_labels(save_dir: str, graph_name: str, seed_nodes, sim: int | None = None):
-    """Load a cached (S, I, R) label triple; returns None on cache miss."""
-    paths = label_paths(save_dir, graph_name, seed_nodes)
-    if not all(os.path.exists(p) for p in paths.values()):
-        return None
+def load_labels(save_dir: str, graph_name: str, seed_nodes, sim: int | None = None,
+                beta: float | None = None, gamma: float | None = None):
+    """Load a cached (S, I, R) label triple; returns None on cache miss.
+
+    With ``beta``/``gamma`` given, the exact-keyed name is tried first, then
+    the legacy seeds-only name (reference compatibility).
+    """
+    paths = None
+    if beta is not None and gamma is not None:
+        exact = label_paths(save_dir, graph_name, seed_nodes, beta, gamma)
+        if all(os.path.exists(p) for p in exact.values()):
+            paths = exact
+    if paths is None:
+        paths = label_paths(save_dir, graph_name, seed_nodes)
+        if not all(os.path.exists(p) for p in paths.values()):
+            return None
     out = []
     for c in ("S", "I", "R"):
         with open(paths[c], "rb") as f:
@@ -58,7 +84,7 @@ def load_or_extract_labels(
 ):
     """Cache-or-simulate, mirroring ``load_SIR_labels`` in every driver."""
     if save_dir is not None:
-        cached = load_labels(save_dir, graph.name, seed_nodes, sim)
+        cached = load_labels(save_dir, graph.name, seed_nodes, sim, beta, gamma)
         if cached is not None:
             return cached
 
@@ -77,7 +103,9 @@ def load_or_extract_labels(
     )
     if save_dir is not None:
         os.makedirs(save_dir, exist_ok=True)
-        paths = label_paths(save_dir, graph.name, seed_nodes)
+        # write under the exact (seeds, beta, gamma) key: the seeds-only
+        # reference name collides across trials sharing a seed set
+        paths = label_paths(save_dir, graph.name, seed_nodes, beta, gamma)
         for c, arr in zip(("S", "I", "R"), (s, i, r)):
             with open(paths[c], "wb") as f:
                 pickle.dump(arr, f)

@@ -55,12 +55,20 @@ def test_sims_chunking_equivalence(karate):
     assert np.abs(a[1] - b[1]).mean() < 0.03
 
 
-def test_golden_vs_reference_karate_labels(karate, karate_fixture_dir):
-    """Distributional regression against the shipped 10k-sim fixtures.
+def test_golden_vs_reference_karate_labels_all_trials(karate, karate_fixture_dir):
+    """Z-scored equivalence against ALL shipped 10k-sim fixture triples.
 
-    Both estimators target the same mean field; with 10k+10k sims the
-    difference should be within a few MC standard errors (~0.005 * 3).
+    Both estimators target the same per-node probability p; the difference
+    of two independent 10k-sim estimates has sd sqrt(2 p(1-p)/10k) per
+    point. With the pooled p-hat as the plug-in, per-point z-scores must
+    look standard-normal-ish: per-trial mean |z| below 1.2 (N(0,1) expects
+    0.798; exact-agreement points at deterministic nodes push it lower) and
+    a global max |z| < 8 over the ~3.6M points (the N(0,1) max over that
+    many draws is ~5.3; binomial tails at small p are slightly heavier).
+    A systematic simulator bias of even 2e-3 at p~0.5 would shift z by ~0.3
+    per point and blow the mean-|z| gate across 177 trials.
     """
+    sims = 10000
     with open(os.path.join(karate_fixture_dir, "initial-seed.pkl"), "rb") as f:
         seeds_all = pickle.load(f)
     with open(os.path.join(karate_fixture_dir, "initial-beta.pkl"), "rb") as f:
@@ -69,20 +77,65 @@ def test_golden_vs_reference_karate_labels(karate, karate_fixture_dir):
         gammas = pickle.load(f)
 
     checked = 0
+    max_z_global = 0.0
+    mean_abs_z = []
+    seen_seed_sets = set()
     for k in range(len(seeds_all)):
-        ref = load_labels(karate_fixture_dir, "karate", seeds_all[k], sim=10000)
+        # The reference cache is keyed by seed set only, so trials sharing a
+        # seed set COLLIDE: the shipped file holds the FIRST such trial's
+        # labels (23 of 200 shipped trials collide; DEVIATIONS.md #15).
+        # Compare each unique file against the params that generated it.
+        tag = tuple(seeds_all[k])
+        if tag in seen_seed_sets:
+            continue
+        seen_seed_sets.add(tag)
+        ref = load_labels(karate_fixture_dir, "karate", seeds_all[k], sim=sims)
         if ref is None:
             continue
         s, i, r = simulate_sir(
-            karate, seeds_all[k], betas[k], gammas[k], sims=10000,
+            karate, seeds_all[k], betas[k], gammas[k], sims=sims,
             key=jax.random.PRNGKey(100 + k),
         )
-        for ours, theirs in zip((s, i, r), ref):
-            assert np.abs(ours - theirs).mean() < 0.01, (
-                f"trial {k}: mean deviation {np.abs(ours - theirs).mean():.4f}"
-            )
-            assert np.abs(ours - theirs).max() < 0.06
+        ours = np.stack([s, i, r])
+        theirs = np.stack(ref)
+        diff = ours - theirs
+        pooled = np.clip((ours + theirs) / 2, 0.5 / sims, 1 - 0.5 / sims)
+        sigma = np.sqrt(2.0 * pooled * (1.0 - pooled) / sims)
+        z = np.abs(diff) / sigma
+        max_z_global = max(max_z_global, float(z.max()))
+        mean_abs_z.append(float(z.mean()))
+        assert z.mean() < 1.2, f"trial {k}: mean |z| {z.mean():.3f}"
+        assert np.abs(diff).mean() < 0.01, (
+            f"trial {k}: mean deviation {np.abs(diff).mean():.4f}"
+        )
         checked += 1
-        if checked >= 3:
-            break
-    assert checked >= 1, "no cached fixture trials found"
+    assert checked >= 170, f"expected the full shipped fixture set, got {checked}"
+    assert max_z_global < 8.0, f"global max |z| {max_z_global:.2f}"
+    # no systematic bias: averaged over all trials, |z| must sit near the
+    # noise-floor expectation, not above it
+    assert float(np.mean(mean_abs_z)) < 1.0
+
+
+def test_high_sims_self_convergence(karate):
+    """The estimator's own SE shrinks as 1/sqrt(sims) toward the 1e-4 scale.
+
+    Two INDEPENDENT estimates at 500k sims must agree ~7x tighter than two
+    at 10k sims (sqrt(50) = 7.07), and their mean deviation must land at the
+    1e-3..1e-4 scale — the empirical demonstration behind the north-star
+    argument (RESULTS.md fidelity section) that the 1e-4 L1 target is the MC
+    noise floor, approachable only by raising sims, not by any
+    reimplementation at 10k.
+    """
+    beta, gamma, seeds = 0.3, 0.2, [0, 5]
+
+    def pair_mad(sims, chunk, k1, k2):
+        a = simulate_sir(karate, seeds, beta, gamma, sims=sims,
+                         sims_chunk=chunk, key=jax.random.PRNGKey(k1))
+        b = simulate_sir(karate, seeds, beta, gamma, sims=sims,
+                         sims_chunk=chunk, key=jax.random.PRNGKey(k2))
+        return float(np.abs(np.stack(a) - np.stack(b)).mean())
+
+    mad_10k = pair_mad(10_000, None, 11, 22)
+    mad_500k = pair_mad(500_000, 100_000, 33, 44)
+    assert mad_500k < mad_10k / 3.0, (mad_10k, mad_500k)
+    assert mad_500k < 2e-3, mad_500k

@@ -44,13 +44,44 @@ def test_load_or_extract_roundtrip(tmp_path, karate):
         karate, [0, 5], 0.3, 0.2, sim=200, max_time=8,
         save_dir=str(tmp_path), key=jax.random.PRNGKey(0),
     )
-    # second call must hit the cache (byte-identical)
+    # same params -> cache hit (byte-identical even with a different key)
     s2, i2, r2 = load_or_extract_labels(
-        karate, [0, 5], 0.9, 0.9, sim=200, max_time=8,  # params ignored on hit
+        karate, [0, 5], 0.3, 0.2, sim=200, max_time=8,
         save_dir=str(tmp_path), key=jax.random.PRNGKey(99),
     )
     np.testing.assert_array_equal(s1, s2)
     np.testing.assert_array_equal(i1, i2)
+    # same seed set, different (beta, gamma) -> NO collision (the reference's
+    # seeds-only key would silently serve the 0.3/0.2 labels here;
+    # DEVIATIONS.md #15)
+    s3, i3, r3 = load_or_extract_labels(
+        karate, [0, 5], 0.45, 0.4, sim=200, max_time=8,
+        save_dir=str(tmp_path), key=jax.random.PRNGKey(0),
+    )
+    assert np.abs(i3 - i1).max() > 0.01
+
+
+def test_legacy_seeds_only_labels_still_load(tmp_path, karate):
+    """Reference-layout (seeds-only-named) caches remain readable."""
+    import pickle
+
+    import jax
+
+    from gn_ode_sir_tpu.utils.labels import label_paths
+
+    s1, i1, r1 = load_or_extract_labels(
+        karate, [1, 4], 0.3, 0.2, sim=100, max_time=6,
+        save_dir=None, key=jax.random.PRNGKey(1),
+    )
+    legacy = label_paths(str(tmp_path), karate.name, [1, 4])  # no beta/gamma
+    for c, arr in zip(("S", "I", "R"), (s1, i1, r1)):
+        with open(legacy[c], "wb") as f:
+            pickle.dump(arr, f)
+    out = load_or_extract_labels(
+        karate, [1, 4], 0.77, 0.66, sim=100, max_time=6,  # reference semantics:
+        save_dir=str(tmp_path), key=jax.random.PRNGKey(2),  # seeds-only hit wins
+    )
+    np.testing.assert_array_equal(out[1], i1)
 
 
 def test_config_json_roundtrip():
