@@ -163,3 +163,23 @@ def test_per_sample_coo_batch(random_graph):
     for b in range(B):
         one = spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), x[b], g.n_nodes)
         np.testing.assert_allclose(np.asarray(out[b]), np.asarray(one), rtol=1e-5)
+
+
+def test_pallas_spmm2_interpret(random_graph):
+    """Chunked MXU segment-sum kernel (v2) == COO oracle, incl. weights and
+    chunk-boundary accumulation (tiny K/R force many chunks per row block)."""
+    from gn_ode_sir_tpu.ops.pallas_spmm2 import SpmmPlan, spmm_pallas2
+
+    g = random_graph
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((g.n_nodes, 16)), jnp.float32)
+    ref = spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), x, g.n_nodes)
+    for k_edges, r_rows in ((16, 8), (64, 16)):
+        plan = SpmmPlan.build(g.src, g.dst, g.n_nodes, k_edges=k_edges, r_rows=r_rows)
+        out = spmm_pallas2(plan, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    w = rng.random(g.src.shape[0]).astype(np.float32)
+    plan_w = SpmmPlan.build(g.src, g.dst, g.n_nodes, w=w, k_edges=32, r_rows=8)
+    out_w = spmm_pallas2(plan_w, x, interpret=True)
+    ref_w = spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), x, g.n_nodes, edge_w=jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(ref_w), rtol=1e-4, atol=1e-4)
