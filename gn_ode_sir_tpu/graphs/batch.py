@@ -73,7 +73,9 @@ def pad_graphs(graphs: list[Graph], node_multiple: int = 8, edge_multiple: int =
     n_nodes = np.zeros(G, dtype=np.int32)
     n_edges = np.zeros(G, dtype=np.int32)
     for i, g in enumerate(graphs):
-        s, d, w = g.padded_edges(e_max)
+        # n_pad keeps padding dst at n_max-1: list stays dst-sorted, which
+        # the segment-sum sorted-indices hint requires (see padded_edges)
+        s, d, w = g.padded_edges(e_max, n_pad=n_max)
         src[i], dst[i], edge_w[i] = s, d, w
         node_mask[i, : g.n_nodes] = 1.0
         n_nodes[i] = g.n_nodes

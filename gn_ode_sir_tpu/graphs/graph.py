@@ -57,20 +57,27 @@ class Graph:
         a[self.dst, self.src] = 1.0
         return a
 
-    def padded_edges(self, e_max: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def padded_edges(
+        self, e_max: int, n_pad: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Edge arrays padded to a static length ``e_max``.
 
-        Padding edges point at the valid node 0 but carry weight 0, so they
-        contribute nothing to any weighted aggregation while keeping every
-        shape static for XLA.
+        Padding edges carry weight 0 so they contribute nothing to any
+        weighted aggregation, and their ``dst`` is the LAST padded node index
+        (``n_pad - 1``, >= every real dst) so the edge list STAYS dst-sorted:
+        segment reductions downstream pass ``indices_are_sorted=True``, and
+        violating that hint is undefined behavior in XLA's scatter lowering
+        (the root cause of the round-1 intermittent TPU faults on the
+        per-sample COO multigraph path at 7k-node padding).
 
         Returns (src, dst, weight) with shape [e_max] each.
         """
         e = self.n_edges
         if e_max < e:
             raise ValueError(f"e_max={e_max} < n_edges={e}")
+        pad_dst = (n_pad if n_pad is not None else self.n_nodes) - 1
         src = np.zeros(e_max, dtype=np.int32)
-        dst = np.zeros(e_max, dtype=np.int32)
+        dst = np.full(e_max, pad_dst, dtype=np.int32)
         w = np.zeros(e_max, dtype=np.float32)
         src[:e], dst[:e], w[:e] = self.src, self.dst, 1.0
         return src, dst, w

@@ -59,8 +59,8 @@ def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False,
     if kind == "dense":
         dense = np.zeros((batch.num_graphs, n_max, n_max), np.float32)
         for g in range(batch.num_graphs):
-            # additive scatter: padding edges land on (0, 0) with weight 0
-            # and must not overwrite a real entry there
+            # additive scatter: padding edges land on (n_max-1, 0) with
+            # weight 0 and must not overwrite a real entry there
             np.add.at(dense[g], (dst[g], src[g]), w[g])
         # keep f32 exactness when the stack is small; drop to bf16 (exact for
         # the {0,1} adjacency, activations round) only at scale
@@ -99,7 +99,8 @@ def _normalized_edges(batch: GraphBatch):
     n_max = batch.n_max
     e_norm = e_max + n_max  # room for self-loops
     src = np.zeros((G, e_norm), np.int32)
-    dst = np.zeros((G, e_norm), np.int32)
+    # padding dst = n_max-1 keeps each row dst-sorted (segment-sum sorted hint)
+    dst = np.full((G, e_norm), n_max - 1, np.int32)
     w = np.zeros((G, e_norm), np.float32)
     for g in range(G):
         e = int(batch.n_edges[g])

@@ -1,8 +1,10 @@
 """Per-trial CSV results sink, schema-compatible with the reference.
 
 Reproduces ``csv_trials`` / ``save_trial_to_csv`` (``ode_nn.py:374-392``):
-create-with-header on first write, append thereafter. (We skip the
-reference's read-back-and-print-the-whole-CSV side effect.)
+create-with-header on first write, append thereafter, then read the whole
+CSV back and print it (the reference's progress display,
+``ode_nn.py:385-388``). Set ``PRINT_TABLE = False`` (or pass
+``print_table=False``) to silence the read-back in library use.
 """
 
 from __future__ import annotations
@@ -17,8 +19,10 @@ TRIAL_COLUMNS = [
     "n_ode_time", "rk_time",
 ]  # ode_nn.py:391
 
+PRINT_TABLE = True  # module-level default for the reference's print side effect
 
-def csv_trials(path_to_csv: str, columns, row) -> None:
+
+def csv_trials(path_to_csv: str, columns, row, print_table: bool | None = None) -> None:
     exists = os.path.exists(path_to_csv)
     os.makedirs(os.path.dirname(os.path.abspath(path_to_csv)), exist_ok=True)
     with open(path_to_csv, "a", newline="") as f:
@@ -26,6 +30,12 @@ def csv_trials(path_to_csv: str, columns, row) -> None:
         if not exists:
             writer.writerow(columns)
         writer.writerow(row)
+    if PRINT_TABLE if print_table is None else print_table:
+        # the reference re-reads and prints the accumulated table each call
+        # (ode_nn.py:385-388, via pandas read_csv)
+        import pandas as pd
+
+        print(pd.read_csv(path_to_csv))
 
 
 def save_trial_to_csv(

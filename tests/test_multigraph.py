@@ -123,3 +123,21 @@ def test_multigraph_fit_end_to_end(two_graphs, tmp_path):
     assert np.isfinite(res.test_loss)
     # label cache populated per graph (reference layout)
     assert any((tmp_path / two_graphs[0].name).iterdir())
+
+
+def test_padded_edges_stay_dst_sorted():
+    """segment_sum is called with indices_are_sorted=True on padded rows;
+    padding must therefore preserve dst order (pad dst = n_max-1). Violating
+    the hint is XLA scatter UB — the round-1 intermittent TPU fault."""
+    import numpy as np
+
+    from gn_ode_sir_tpu.graphs import load_graph, pad_graphs
+    from gn_ode_sir_tpu.train.multigraph import _normalized_edges
+
+    graphs = [load_graph("none", n_random=n, seed=s) for n, s in ((10, 0), (30, 1))]
+    batch = pad_graphs(graphs, node_multiple=8, edge_multiple=32)
+    for g in range(batch.src.shape[0]):
+        assert np.all(np.diff(batch.dst[g]) >= 0), f"graph {g} dst not sorted"
+    src, dst, w = _normalized_edges(batch)
+    for g in range(dst.shape[0]):
+        assert np.all(np.diff(dst[g]) >= 0), f"normalized graph {g} dst not sorted"
