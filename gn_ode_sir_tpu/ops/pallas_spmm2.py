@@ -156,3 +156,108 @@ def spmm_pallas2(plan: SpmmPlan, x, *, interpret: bool = False):
         r_rows=plan.r_rows,
         interpret=interpret,
     )
+
+
+def _apply_interpret_default():
+    import jax
+
+    return jax.devices()[0].platform == "cpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _spmm2_diff(n_nodes, k_edges, r_rows, interpret,
+                src_p, dloc, base, w_p, src_t, dloc_t, base_t, w_t, x):
+    msgs = x[src_p] * w_p[:, None]
+    return _spmm2_call(base, dloc, msgs, n_nodes=n_nodes, k_edges=k_edges,
+                       r_rows=r_rows, interpret=interpret)
+
+
+def _spmm2_diff_fwd(n_nodes, k_edges, r_rows, interpret,
+                    src_p, dloc, base, w_p, src_t, dloc_t, base_t, w_t, x):
+    out = _spmm2_diff(n_nodes, k_edges, r_rows, interpret,
+                      src_p, dloc, base, w_p, src_t, dloc_t, base_t, w_t, x)
+    return out, (src_t, dloc_t, base_t, w_t)
+
+
+def _spmm2_diff_bwd(n_nodes, k_edges, r_rows, interpret, res, g):
+    """d/dx = the TRANSPOSE SpMM of the cotangent: same kernel, src/dst
+    swapped plan (src-sorted edges). Plan arrays get zero-size cotangents."""
+    src_t, dloc_t, base_t, w_t = res
+    msgs = g[src_t] * w_t[:, None]
+    dx = _spmm2_call(base_t, dloc_t, msgs, n_nodes=n_nodes, k_edges=k_edges,
+                     r_rows=r_rows, interpret=interpret)
+    zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (zi(src_t), zi(dloc_t), zi(base_t), jnp.zeros_like(w_t),
+            zi(src_t), zi(dloc_t), zi(base_t), jnp.zeros_like(w_t), dx)
+
+
+_spmm2_diff.defvjp(_spmm2_diff_fwd, _spmm2_diff_bwd)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Pallas2Adj:
+    """Adjacency pytree backed by the chunked Pallas kernel (fwd + VJP).
+
+    Drop-in for :class:`~gn_ode_sir_tpu.ops.adjacency.CooAdj`: models call
+    ``adj.matvec(x)`` with x [B, n, h]. Plan arrays are pytree LEAVES so they
+    enter jitted programs as arguments, never as HLO constants.
+    """
+
+    src_p: jnp.ndarray
+    dloc: jnp.ndarray
+    base: jnp.ndarray
+    w_p: jnp.ndarray
+    src_t: jnp.ndarray
+    dloc_t: jnp.ndarray
+    base_t: jnp.ndarray
+    w_t: jnp.ndarray
+    n_nodes: int
+    k_edges: int
+    r_rows: int
+    interpret: bool = False
+
+    @staticmethod
+    def from_graph(graph, w=None, *, k_edges: int = 512, r_rows: int = 128,
+                   interpret: bool | None = None) -> "Pallas2Adj":
+        src = np.asarray(graph.src, np.int32)
+        dst = np.asarray(graph.dst, np.int32)
+        fwd = SpmmPlan.build(src, dst, graph.n_nodes,
+                             w=np.ones(src.shape[0], np.float32) if w is None else w,
+                             k_edges=k_edges, r_rows=r_rows)
+        # transpose plan: swap src/dst, re-sort by the new dst (= old src)
+        order = np.argsort(src, kind="stable")
+        twd = SpmmPlan.build(dst[order], src[order], graph.n_nodes,
+                             w=(np.ones(src.shape[0], np.float32) if w is None
+                                else np.asarray(w, np.float32))[order],
+                             k_edges=k_edges, r_rows=r_rows)
+        if interpret is None:
+            interpret = _apply_interpret_default()
+        return Pallas2Adj(
+            src_p=jnp.asarray(fwd.src_padded), dloc=jnp.asarray(fwd.dst_local),
+            base=jnp.asarray(fwd.row_base), w_p=jnp.asarray(fwd.w_padded),
+            src_t=jnp.asarray(twd.src_padded), dloc_t=jnp.asarray(twd.dst_local),
+            base_t=jnp.asarray(twd.row_base), w_t=jnp.asarray(twd.w_padded),
+            n_nodes=graph.n_nodes, k_edges=k_edges, r_rows=r_rows,
+            interpret=bool(interpret),
+        )
+
+    def matvec(self, x):
+        def one(xb):
+            return _spmm2_diff(
+                self.n_nodes, self.k_edges, self.r_rows, self.interpret,
+                self.src_p, self.dloc, self.base, self.w_p,
+                self.src_t, self.dloc_t, self.base_t, self.w_t, xb,
+            )
+
+        return jax.lax.map(one, x)
+
+    def tree_flatten(self):
+        leaves = (self.src_p, self.dloc, self.base, self.w_p,
+                  self.src_t, self.dloc_t, self.base_t, self.w_t)
+        return leaves, (self.n_nodes, self.k_edges, self.r_rows, self.interpret)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, n_nodes=aux[0], k_edges=aux[1], r_rows=aux[2],
+                   interpret=aux[3])

@@ -183,3 +183,26 @@ def test_pallas_spmm2_interpret(random_graph):
     out_w = spmm_pallas2(plan_w, x, interpret=True)
     ref_w = spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), x, g.n_nodes, edge_w=jnp.asarray(w))
     np.testing.assert_allclose(np.asarray(out_w), np.asarray(ref_w), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas2_adj_grad_matches_coo(random_graph):
+    """Pallas2Adj (chunked kernel + transpose-plan custom VJP) must match the
+    CooAdj forward AND gradient; plan arrays ride as pytree leaves (jit args,
+    not HLO constants)."""
+    from gn_ode_sir_tpu.ops.pallas_spmm2 import Pallas2Adj
+
+    g = random_graph
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, g.n_nodes, 8)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((2, g.n_nodes, 8)), jnp.float32)
+    p2 = Pallas2Adj.from_graph(g, k_edges=32, r_rows=8)
+    coo = adjacency_from_graph(g, prefer_dense=False)
+
+    @jax.jit
+    def loss(adj, xx):
+        return (adj.matvec(xx) * t).sum()
+
+    np.testing.assert_allclose(float(loss(p2, x)), float(loss(coo, x)), rtol=1e-5)
+    g2 = jax.grad(lambda xx: loss(p2, xx))(x)
+    gc = jax.grad(lambda xx: loss(coo, xx))(x)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(gc), rtol=1e-4, atol=1e-5)
