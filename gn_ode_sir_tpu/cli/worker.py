@@ -71,7 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train on a node split of the FIRST trial "
                         "(legacy ode_nn.py transductive protocol)")
     # performance knobs
-    p.add_argument("--spmm", default="auto", choices=["auto", "dense", "coo", "ell"],
+    p.add_argument("--spmm", default="auto",
+                   choices=["auto", "dense", "coo", "ell", "pallas2"],
                    help="message-passing backend for GN-ODE")
     p.add_argument("--coins", default="bits16", choices=["bits16", "bits32", "uniform", "pallas"],
                    help="MC simulator coin generation mode")
@@ -86,14 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _gnode_adjacency(args, g):
-    from gn_ode_sir_tpu.ops import EllAdj
     from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
 
-    if args.spmm == "auto":
-        return adjacency_from_graph(g)
-    if args.spmm == "ell":
-        return EllAdj.from_graph(g)
-    return adjacency_from_graph(g, prefer_dense=(args.spmm == "dense"))
+    return adjacency_from_graph(g, kind=args.spmm)
 
 
 def load_experiment(args):

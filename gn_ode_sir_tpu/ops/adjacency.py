@@ -112,6 +112,10 @@ def adjacency_from_graph(graph, *, prefer_dense: bool | None = None, dtype=None,
         return CooAdj(
             jnp.asarray(graph.src), jnp.asarray(graph.dst), None, graph.n_nodes
         )
+    if kind == "pallas2":
+        from gn_ode_sir_tpu.ops.pallas_spmm2 import Pallas2Adj
+
+        return Pallas2Adj.from_graph(graph)
     raise ValueError(f"unknown adjacency kind {kind!r}")
 
 

@@ -172,3 +172,9 @@ def test_monitorer_matrix(tmp_path):
     # rerun reloads persisted params (no resample) and --only filter works
     rc = monitorer.run_matrix(cfg, only=(1,))
     assert rc == 0
+
+
+def test_worker_spmm_pallas2(tmp_path):
+    """GNODE end-to-end on the chunked Pallas backend (interpret on CPU)."""
+    rc = worker.main(_base_argv(tmp_path, "ode_nn", extra=("--spmm", "pallas2")))
+    assert rc == 0
