@@ -83,7 +83,7 @@ def test_golden_vs_reference_karate_labels_all_trials(karate, karate_fixture_dir
     for k in range(len(seeds_all)):
         # The reference cache is keyed by seed set only, so trials sharing a
         # seed set COLLIDE: the shipped file holds the FIRST such trial's
-        # labels (23 of 200 shipped trials collide; DEVIATIONS.md #15).
+        # labels (23 of 200 shipped trials collide; DEVIATIONS.md #4a).
         # Compare each unique file against the params that generated it.
         tag = tuple(seeds_all[k])
         if tag in seen_seed_sets:
@@ -139,3 +139,24 @@ def test_high_sims_self_convergence(karate):
     mad_500k = pair_mad(500_000, 100_000, 33, 44)
     assert mad_500k < mad_10k / 3.0, (mad_10k, mad_500k)
     assert mad_500k < 2e-3, mad_500k
+
+
+def test_per_sim_matches_counts(karate):
+    """simulate_sir_per_sim keeps full per-simulation indicator trajectories
+    (the sir_pandas capability, ode_nn.py:104-106); with the same key it runs
+    the IDENTICAL trajectories as the counts path, so indicator sums must
+    match exactly."""
+    from gn_ode_sir_tpu.sim import simulate_sir_counts, simulate_sir_per_sim
+
+    key = jax.random.PRNGKey(12)
+    s, i, r = simulate_sir_per_sim(karate, [2, 9], 0.35, 0.25, sims=400,
+                                   max_time=12, key=key)
+    assert s.shape == (400, 12, karate.n_nodes)
+    # indicators are {0,1} and partition states
+    assert set(np.unique(s)) <= {0, 1}
+    np.testing.assert_array_equal(s + i + r, np.ones_like(s))
+    sums = np.asarray(simulate_sir_counts(karate, [2, 9], 0.35, 0.25, sims=400,
+                                          max_time=12, key=key))
+    np.testing.assert_array_equal(s.sum(0), sums[:, 0])
+    np.testing.assert_array_equal(i.sum(0), sums[:, 1])
+    np.testing.assert_array_equal(r.sum(0), sums[:, 2])
