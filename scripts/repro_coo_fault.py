@@ -85,6 +85,41 @@ def main():
         except Exception as e:
             print(f"{label}: FAULTED -> {type(e).__name__}: {str(e)[:200]}")
 
+        # the actual round-1 path: per-sample [B, E] edges, vmapped
+        # segment-sum (CooAdj.matvec per-sample branch)
+        B = 8
+        srcB = jnp.broadcast_to(src, (B, src.shape[0]))
+        dstB = jnp.broadcast_to(dst, (B, dst.shape[0]))
+        wB = jnp.broadcast_to(w, (B, w.shape[0]))
+        xb = jnp.asarray(rng.random((B, n_max, 64)), jnp.float32)
+
+        @jax.jit
+        def run_b(xx):
+            def one(s_, d_, w_, x_):
+                return segment_sum(x_[s_] * w_[:, None], d_, n_max,
+                                   indices_are_sorted=True)
+
+            def step(y, _):
+                z = jax.vmap(one)(srcB, dstB, wB, y)
+                return z / (jnp.abs(z).mean() + 1e-6), ()
+
+            y, _ = jax.lax.scan(step, xx, None, length=20)
+            return y, jax.vmap(one)(srcB, dstB, wB, xx)
+
+        try:
+            errs = []
+            for rep in range(5):
+                y, once = run_b(xb)
+                once = np.asarray(once)
+                errs.append(float(np.abs(once - np.asarray(
+                    jax.vmap(oracle)(xb))).max()))
+                float(np.asarray(y).sum())
+            print(f"{label} [per-sample B=8]: max|err| = {max(errs):.3e} "
+                  f"({'WRONG' if max(errs) > 1e-3 else 'ok'})")
+        except Exception as e:
+            print(f"{label} [per-sample B=8]: FAULTED -> "
+                  f"{type(e).__name__}: {str(e)[:200]}")
+
 
 if __name__ == "__main__":
     main()
