@@ -29,7 +29,8 @@ class GraphBatch:
     """A collection of graphs padded to shared static shapes.
 
     Attributes (G = number of graphs):
-      src, dst: int32 [G, e_max] — padded entries point at node 0.
+      src, dst: int32 [G, e_max] — padded entries: src=0, dst=n_max-1
+        (keeps each row dst-sorted for the segment-sum sorted-indices hint).
       edge_w:  float32 [G, e_max] — 1.0 for real edges, 0.0 padding.
       node_mask: float32 [G, n_max] — 1.0 for real nodes.
       n_nodes, n_edges: int32 [G] — true sizes.

@@ -112,10 +112,13 @@ def adjacency_from_graph(graph, *, prefer_dense: bool | None = None, dtype=None,
         return CooAdj(
             jnp.asarray(graph.src), jnp.asarray(graph.dst), None, graph.n_nodes
         )
-    if kind == "pallas2":
+    if kind in ("pallas2", "pallas2-bf16"):
         from gn_ode_sir_tpu.ops.pallas_spmm2 import Pallas2Adj
 
-        return Pallas2Adj.from_graph(graph)
+        return Pallas2Adj.from_graph(
+            graph, k_edges=1024, r_rows=256,
+            precision="bf16" if kind.endswith("bf16") else "f32",
+        )
     raise ValueError(f"unknown adjacency kind {kind!r}")
 
 

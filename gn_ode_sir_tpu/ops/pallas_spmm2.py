@@ -41,7 +41,11 @@ class SpmmPlan:
     """Host-built chunk plan for one (graph, K, R) triple."""
 
     src_padded: np.ndarray  # [C*K] int32 gather rows (0 for padding)
-    dst_local: np.ndarray  # [C, K] int32 row-within-chunk (R for padding)
+    # [C, 8, K] int32 row-within-chunk (R for padding), replicated over a
+    # sublane axis of 8: Mosaic requires VMEM block shapes whose last two
+    # dims are (8k, 128k)-divisible, so a [1, K] block is not lowerable on
+    # real hardware — the kernel reads replica 0.
+    dst_local: np.ndarray
     row_base: np.ndarray  # [C] int32 first destination row of each chunk
     w_padded: np.ndarray | None  # [C*K] f32 edge weights (0 for padding)
     n_nodes: int
@@ -85,7 +89,9 @@ class SpmmPlan:
                 w_p[c, :m] = np.asarray(w, np.float32)[s:t]
         return SpmmPlan(
             src_padded=src_p.reshape(-1),
-            dst_local=dloc,
+            dst_local=np.ascontiguousarray(
+                np.broadcast_to(dloc[:, None, :], (C, 8, k_edges))
+            ),
             row_base=base,
             w_padded=None if w_p is None else w_p.reshape(-1),
             n_nodes=n_nodes,
@@ -103,9 +109,11 @@ def _kernel(base_ref, dloc_ref, msgs_ref, out_ref, *, r_rows):
 
     # one-hot routing [R, K]: row r collects the chunk edges with dst_local==r;
     # padding edges carry dst_local==R and match no row
-    k = dloc_ref.shape[1]
+    k = dloc_ref.shape[2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (r_rows, k), 0)
-    onehot = (rows == dloc_ref[0:1, :]).astype(jnp.float32)
+    # one-hot in the message dtype: {0,1} is exact in bf16 too, and a bf16
+    # one-hot x bf16 msgs dot runs at native MXU rate (f32 accumulate)
+    onehot = (rows == dloc_ref[0, 0:1, :]).astype(msgs_ref.dtype)
     partial = jnp.dot(onehot, msgs_ref[:], preferred_element_type=jnp.float32)
     r0 = base_ref[c]
     out_ref[pl.ds(r0, r_rows), :] += partial
@@ -124,7 +132,7 @@ def _spmm2_call(row_base, dst_local, msgs, *, n_nodes, k_edges, r_rows, interpre
             num_scalar_prefetch=1,
             grid=(C,),
             in_specs=[
-                pl.BlockSpec((1, k_edges), lambda c, *_: (c, 0),
+                pl.BlockSpec((1, 8, k_edges), lambda c, *_: (c, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((k_edges, h), lambda c, *_: (c, 0),
                              memory_space=pltpu.VMEM),
@@ -138,15 +146,20 @@ def _spmm2_call(row_base, dst_local, msgs, *, n_nodes, k_edges, r_rows, interpre
     return out[:n_nodes]
 
 
-def spmm_pallas2(plan: SpmmPlan, x, *, interpret: bool = False):
+def spmm_pallas2(plan: SpmmPlan, x, *, interpret: bool = False,
+                 precision: str = "f32"):
     """out[d] = sum_{e: dst[e]==d} w[e] * x[src[e]] via the chunked kernel.
 
     ``x``: [n_nodes, h] f32. The gather ``x[plan.src_padded]`` runs in XLA
-    (fast on TPU); only the reduction runs in Pallas.
+    (fast on TPU); only the reduction runs in Pallas. ``precision='bf16'``
+    rounds the gathered messages to bf16 (halving their HBM traffic) and
+    runs the one-hot routing matmul at native MXU bf16 rate; accumulation
+    stays f32, so the reduction itself loses no further precision.
     """
-    msgs = jnp.asarray(x, jnp.float32)[jnp.asarray(plan.src_padded)]
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    msgs = jnp.asarray(x).astype(dt)[jnp.asarray(plan.src_padded)]
     if plan.w_padded is not None:
-        msgs = msgs * jnp.asarray(plan.w_padded)[:, None]
+        msgs = msgs * jnp.asarray(plan.w_padded).astype(dt)[:, None]
     return _spmm2_call(
         jnp.asarray(plan.row_base),
         jnp.asarray(plan.dst_local),
@@ -164,26 +177,31 @@ def _apply_interpret_default():
     return jax.devices()[0].platform == "cpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _spmm2_diff(n_nodes, k_edges, r_rows, interpret,
+def _to_msgs(x, src, w, precision):
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    return x.astype(dt)[src] * w.astype(dt)[:, None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _spmm2_diff(n_nodes, k_edges, r_rows, interpret, precision,
                 src_p, dloc, base, w_p, src_t, dloc_t, base_t, w_t, x):
-    msgs = x[src_p] * w_p[:, None]
+    msgs = _to_msgs(x, src_p, w_p, precision)
     return _spmm2_call(base, dloc, msgs, n_nodes=n_nodes, k_edges=k_edges,
                        r_rows=r_rows, interpret=interpret)
 
 
-def _spmm2_diff_fwd(n_nodes, k_edges, r_rows, interpret,
+def _spmm2_diff_fwd(n_nodes, k_edges, r_rows, interpret, precision,
                     src_p, dloc, base, w_p, src_t, dloc_t, base_t, w_t, x):
-    out = _spmm2_diff(n_nodes, k_edges, r_rows, interpret,
+    out = _spmm2_diff(n_nodes, k_edges, r_rows, interpret, precision,
                       src_p, dloc, base, w_p, src_t, dloc_t, base_t, w_t, x)
     return out, (src_t, dloc_t, base_t, w_t)
 
 
-def _spmm2_diff_bwd(n_nodes, k_edges, r_rows, interpret, res, g):
+def _spmm2_diff_bwd(n_nodes, k_edges, r_rows, interpret, precision, res, g):
     """d/dx = the TRANSPOSE SpMM of the cotangent: same kernel, src/dst
     swapped plan (src-sorted edges). Plan arrays get zero-size cotangents."""
     src_t, dloc_t, base_t, w_t = res
-    msgs = g[src_t] * w_t[:, None]
+    msgs = _to_msgs(g, src_t, w_t, precision)
     dx = _spmm2_call(base_t, dloc_t, msgs, n_nodes=n_nodes, k_edges=k_edges,
                      r_rows=r_rows, interpret=interpret)
     zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
@@ -216,10 +234,12 @@ class Pallas2Adj:
     k_edges: int
     r_rows: int
     interpret: bool = False
+    precision: str = "f32"
 
     @staticmethod
     def from_graph(graph, w=None, *, k_edges: int = 512, r_rows: int = 128,
-                   interpret: bool | None = None) -> "Pallas2Adj":
+                   interpret: bool | None = None,
+                   precision: str = "f32") -> "Pallas2Adj":
         src = np.asarray(graph.src, np.int32)
         dst = np.asarray(graph.dst, np.int32)
         fwd = SpmmPlan.build(src, dst, graph.n_nodes,
@@ -239,13 +259,14 @@ class Pallas2Adj:
             src_t=jnp.asarray(twd.src_padded), dloc_t=jnp.asarray(twd.dst_local),
             base_t=jnp.asarray(twd.row_base), w_t=jnp.asarray(twd.w_padded),
             n_nodes=graph.n_nodes, k_edges=k_edges, r_rows=r_rows,
-            interpret=bool(interpret),
+            interpret=bool(interpret), precision=precision,
         )
 
     def matvec(self, x):
         def one(xb):
             return _spmm2_diff(
                 self.n_nodes, self.k_edges, self.r_rows, self.interpret,
+                self.precision,
                 self.src_p, self.dloc, self.base, self.w_p,
                 self.src_t, self.dloc_t, self.base_t, self.w_t, xb,
             )
@@ -255,9 +276,10 @@ class Pallas2Adj:
     def tree_flatten(self):
         leaves = (self.src_p, self.dloc, self.base, self.w_p,
                   self.src_t, self.dloc_t, self.base_t, self.w_t)
-        return leaves, (self.n_nodes, self.k_edges, self.r_rows, self.interpret)
+        return leaves, (self.n_nodes, self.k_edges, self.r_rows,
+                        self.interpret, self.precision)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, n_nodes=aux[0], k_edges=aux[1], r_rows=aux[2],
-                   interpret=aux[3])
+                   interpret=aux[3], precision=aux[4])

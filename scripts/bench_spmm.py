@@ -97,13 +97,23 @@ def main():
             )
 
         interpret = jax.devices()[0].platform == "cpu"  # CPU smoke-test mode
-        for K, R in ((512, 128), (1024, 256)):
+        for K, R in ((512, 128), (1024, 256), (2048, 256), (2048, 512)):
             plan = SpmmPlan.build(g.src, g.dst, g.n_nodes, k_edges=K, r_rows=R)
-            res[f"pallas2_k{K}_r{R}"] = bench_backend(
-                f"pallas2 K={K} R={R}",
-                lambda y, p=plan: spmm_pallas2(p, y, interpret=interpret),
-                x, args.iters,
-            )
+            for prec in ("f32", "bf16"):
+                res[f"pallas2_k{K}_r{R}_{prec}"] = bench_backend(
+                    f"pallas2 K={K} R={R} {prec}",
+                    lambda y, p=plan, q=prec: spmm_pallas2(
+                        p, y, interpret=interpret, precision=q),
+                    x, args.iters,
+                )
+
+        # gather-only probe: the XLA x[src] half of the pallas2 pipeline,
+        # to localize whether gather or reduction dominates
+        plan = SpmmPlan.build(g.src, g.dst, g.n_nodes, k_edges=1024, r_rows=256)
+        sp = jnp.asarray(plan.src_padded)
+        res["gather_only"] = bench_backend(
+            "gather only", lambda y: y[sp].sum(0, keepdims=True) + y, x, args.iters
+        )
         results[name] = res
 
     if args.out:

@@ -3,11 +3,16 @@
 Round-1 symptom: per-sample COO multigraph train programs at 7k-node padding
 intermittently faulted the TPU worker; the auto backend routed around it.
 
-Hypothesis (confirmed by this script on hardware): padding edges were
-appended as dst=0 AFTER the dst-sorted real edges, while the per-sample
-``CooAdj`` path calls ``jax.ops.segment_sum(..., indices_are_sorted=True)``
-— passing unsorted indices under that hint is undefined behavior in XLA's
-scatter lowering on TPU.
+Hypothesis: padding edges were appended as dst=0 AFTER the dst-sorted real
+edges, while the per-sample ``CooAdj`` path calls
+``jax.ops.segment_sum(..., indices_are_sorted=True)`` — passing unsorted
+indices under that hint is undefined behavior in XLA's scatter lowering.
+
+MEASURED OUTCOME (TPU v5e, 2026-08-16): NOT reproduced. Both layouts match
+the dense oracle exactly here and in the full-train-program repro
+(``repro_coo_train.py``), so the round-1 fault cannot be pinned on the
+padding layout on the current stack; the dst-sorted padding fix is kept as
+UB hygiene (the hint's contract is now actually honored).
 
 The script compares, at 7072-node padding with wiki-vote-sized rows:
   A. segment-sum with UNSORTED padding (the round-1 layout) under the

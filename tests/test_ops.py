@@ -206,3 +206,32 @@ def test_pallas2_adj_grad_matches_coo(random_graph):
     g2 = jax.grad(lambda xx: loss(p2, xx))(x)
     gc = jax.grad(lambda xx: loss(coo, xx))(x)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(gc), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas2_bf16_close_to_f32(random_graph):
+    """precision='bf16' rounds messages to bf16 but accumulates f32: results
+    must track the exact f32 kernel to bf16 rounding tolerance, fwd and grad."""
+    from gn_ode_sir_tpu.ops.pallas_spmm2 import Pallas2Adj
+
+    g = random_graph
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, g.n_nodes, 8)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((2, g.n_nodes, 8)), jnp.float32)
+    exact = Pallas2Adj.from_graph(g, k_edges=32, r_rows=8)
+    fast = Pallas2Adj.from_graph(g, k_edges=32, r_rows=8, precision="bf16")
+
+    @jax.jit
+    def loss(adj, xx):
+        return (adj.matvec(xx) * t).sum()
+
+    scale = float(jnp.abs(exact.matvec(x)).max())
+    np.testing.assert_allclose(
+        np.asarray(fast.matvec(x)), np.asarray(exact.matvec(x)),
+        atol=2e-2 * scale,
+    )
+    gf = jax.grad(lambda xx: loss(fast, xx))(x)
+    ge = jax.grad(lambda xx: loss(exact, xx))(x)
+    np.testing.assert_allclose(
+        np.asarray(gf), np.asarray(ge),
+        atol=2e-2 * float(jnp.abs(ge).max()),
+    )
