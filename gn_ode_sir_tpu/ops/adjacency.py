@@ -89,19 +89,27 @@ def adjacency_from_graph(graph, *, prefer_dense: bool | None = None, dtype=None,
                          kind: str = "auto"):
     """Build the right adjacency pytree for a host-side Graph.
 
-    ``kind``: 'auto' (dense MXU up to DENSE_NODE_THRESHOLD nodes, bucketed
-    ELL beyond — the measured-fastest choice at each scale), or an explicit
-    'dense' | 'coo' | 'ell'. ``prefer_dense`` is the legacy boolean override
-    (True -> dense, False -> coo). ``dtype=jnp.bfloat16`` halves dense-path
-    HBM traffic (exact {0,1} adjacency; activations round to bf16 inside the
-    matmul).
+    ``kind``: 'auto' (dense MXU up to DENSE_NODE_THRESHOLD nodes; beyond
+    that the chunked Pallas kernel on TPU, bucketed ELL elsewhere — the
+    measured-fastest choice at each scale: enron h=64 per-apply 5.3 ms
+    pallas2 vs 5.4 ELL vs 7.5 COO, TPU v5e), or an explicit
+    'dense' | 'coo' | 'ell' | 'pallas2' | 'pallas2-bf16'. ``prefer_dense``
+    is the legacy boolean override (True -> dense, False -> coo).
+    ``dtype=jnp.bfloat16`` halves dense-path HBM traffic (exact {0,1}
+    adjacency; activations round to bf16 inside the matmul).
     """
     from gn_ode_sir_tpu.ops.spmm import DENSE_NODE_THRESHOLD
 
     if prefer_dense is not None:
         kind = "dense" if prefer_dense else "coo"
     if kind == "auto":
-        kind = "dense" if graph.n_nodes <= DENSE_NODE_THRESHOLD else "ell"
+        if graph.n_nodes <= DENSE_NODE_THRESHOLD:
+            kind = "dense"
+        else:
+            # pallas2 only lowers on real TPU (the axon tunnel reports its
+            # own platform name); interpret mode on CPU would crawl at this
+            # scale, so the CPU backend keeps the ELL path
+            kind = "ell" if jax.default_backend() == "cpu" else "pallas2"
     if kind == "dense":
         return DenseAdj(jnp.asarray(graph.dense_adjacency, dtype or jnp.float32))
     if kind == "ell":
