@@ -72,8 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(legacy ode_nn.py transductive protocol)")
     # performance knobs
     p.add_argument("--spmm", default="auto",
-                   choices=["auto", "dense", "coo", "ell", "pallas2",
-                            "pallas2-bf16"],
+                   choices=["auto", "dense", "dense-bf16", "coo", "ell",
+                            "pallas2", "pallas2-bf16"],
                    help="message-passing backend for GN-ODE")
     p.add_argument("--coins", default="bits16", choices=["bits16", "bits32", "uniform", "pallas"],
                    help="MC simulator coin generation mode")

@@ -93,7 +93,8 @@ def adjacency_from_graph(graph, *, prefer_dense: bool | None = None, dtype=None,
     that the chunked Pallas kernel on TPU, bucketed ELL elsewhere — the
     measured-fastest choice at each scale: enron h=64 per-apply 5.3 ms
     pallas2 vs 5.4 ELL vs 7.5 COO, TPU v5e), or an explicit
-    'dense' | 'coo' | 'ell' | 'pallas2' | 'pallas2-bf16'. ``prefer_dense``
+    'dense' | 'dense-bf16' | 'coo' | 'ell' | 'pallas2' | 'pallas2-bf16'.
+    ``prefer_dense``
     is the legacy boolean override (True -> dense, False -> coo).
     ``dtype=jnp.bfloat16`` halves dense-path HBM traffic (exact {0,1}
     adjacency; activations round to bf16 inside the matmul).
@@ -110,6 +111,8 @@ def adjacency_from_graph(graph, *, prefer_dense: bool | None = None, dtype=None,
             # own platform name); interpret mode on CPU would crawl at this
             # scale, so the CPU backend keeps the ELL path
             kind = "ell" if jax.default_backend() == "cpu" else "pallas2"
+    if kind == "dense-bf16":
+        kind, dtype = "dense", jnp.bfloat16
     if kind == "dense":
         return DenseAdj(jnp.asarray(graph.dense_adjacency, dtype or jnp.float32))
     if kind == "ell":

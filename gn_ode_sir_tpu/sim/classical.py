@@ -10,10 +10,14 @@ comparisons in tests).
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gn_ode_sir_tpu.odeint import odeint_grid, resample_integer_times
+from gn_ode_sir_tpu.odeint import resample_integer_times
+from gn_ode_sir_tpu.odeint.solvers import step_fn
 
 
 def sir_field(t, y, args):
@@ -40,6 +44,31 @@ def sir_field_adj(t, y, args):
     return (ds, di, dr)
 
 
+@partial(jax.jit, static_argnames=("method", "substeps", "n_coarse", "delta_t"))
+def _integrate_coarse(y0, args, *, method, substeps, n_coarse, delta_t):
+    """Integrate the mean-field on the ``delta_t`` grid, taking ``substeps``
+    internal explicit steps per grid interval but materializing ONLY the
+    coarse-grid states — the fine trajectory on enron (substeps=256:
+    10,240 x 33,696 x 3 f32) would be ~4 GB of HBM and crashed the TPU
+    worker when saved densely."""
+    step = step_fn(method)
+    h = delta_t / substeps
+
+    def advance(y, k):
+        t0 = k.astype(jnp.float32) * delta_t
+
+        def body(j, yj):
+            return step(sir_field_adj, t0 + j * h, yj, h, args)
+
+        y = jax.lax.fori_loop(0, substeps, body, y)
+        return y, y
+
+    _, tail = jax.lax.scan(advance, y0, jnp.arange(n_coarse - 1))
+    return tuple(
+        jnp.concatenate([y[None], t], axis=0) for y, t in zip(y0, tail)
+    )
+
+
 def sir_classical(
     graph,
     seed_nodes,
@@ -50,11 +79,21 @@ def sir_classical(
     max_time: int = 20,
     method: str = "rk4",
     engine: str = "jax",
+    substeps: int | None = None,
 ):
     """Mean-field S/I/R trajectories at integer times, each [max_time, n].
 
     Returns (I, S, R) — the reference's return order
     (``runge_kutta_order4``, ``ode_nn.py:233``).
+
+    ``substeps`` refines the fixed ``delta_t`` grid for the explicit jax
+    solvers. The reference integrates with scipy's adaptive LSODA
+    (``ode_nn.py:227``), which silently handles stiff high-degree graphs; a
+    fixed rk4 at h=0.5 diverges on enron (beta * max_degree ~ 350 >> the
+    ~2.8 real-axis stability bound). ``None`` auto-picks the smallest
+    power-of-two refinement that puts ``h * (beta * max_degree + gamma)``
+    inside the stability region, so the per-trial loop compiles only
+    O(log) distinct grid lengths.
     """
     n = graph.n_nodes
     i0 = np.zeros(n)
@@ -64,10 +103,16 @@ def sir_classical(
 
     if engine == "scipy":
         from scipy.integrate import odeint as odeintscp
+        from scipy.sparse import coo_matrix
+
+        # CSR matvec, not dense: enron's dense f64 adjacency is 9 GB
+        a_sp = coo_matrix(
+            (np.ones(graph.n_edges), (graph.dst, graph.src)), shape=(n, n)
+        ).tocsr()
 
         def field(x, t):
             s, i, r = x[:n], x[n : 2 * n], x[2 * n :]
-            ai = graph.dense_adjacency @ i
+            ai = a_sp @ i
             ds = -beta * ai * s
             di = -ds - gamma * i
             return np.hstack([ds, di, gamma * i])
@@ -78,17 +123,20 @@ def sir_classical(
     else:
         from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
 
-        ts = jnp.arange(0.0, max_time, delta_t, dtype=jnp.float32)
+        if substeps is None:
+            rate = float(beta) * float(graph.degrees.max()) + float(gamma)
+            need = delta_t * rate / 2.5
+            substeps = 1 << int(np.ceil(np.log2(need))) if need > 1.0 else 1
+        n_coarse = int(round(max_time / delta_t))
         # auto backend: dense MXU for small graphs, bucketed ELL at scale
         # (keeps the enron baseline off the 4.5 GB dense adjacency)
         adj = adjacency_from_graph(graph)
-        traj = odeint_grid(
-            sir_field_adj,
-            (jnp.asarray(s0, jnp.float32), jnp.asarray(i0, jnp.float32), jnp.asarray(r0, jnp.float32)),
-            ts,
+        traj = _integrate_coarse(
+            (jnp.asarray(s0, jnp.float32), jnp.asarray(i0, jnp.float32),
+             jnp.asarray(r0, jnp.float32)),
             (adj, float(beta), float(gamma)),
-            method=method,
-            adjoint="direct",
+            method=method, substeps=substeps, n_coarse=n_coarse,
+            delta_t=float(delta_t),
         )
         s_t, i_t, r_t = (np.asarray(x) for x in traj)
 

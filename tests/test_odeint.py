@@ -142,3 +142,26 @@ def test_resample_expected_counts():
     traj = np.arange(40)[:, None] * np.ones((40, 3))  # [T_grid, n=3]
     out = resample_expected_counts(traj, max_time=20, delta_t=0.5)
     np.testing.assert_allclose(out, [3 * int(i / 0.5) for i in range(20)])
+
+
+def test_sir_classical_stiff_graph_substepping():
+    """Fixed rk4 at h=0.5 diverges when beta*max_degree exceeds the explicit
+    stability bound (enron: ~350); the auto power-of-two substep refinement
+    must keep the mean-field finite and LSODA-accurate on a stiff hub graph
+    (the regime the reference's adaptive scipy.odeint handles silently,
+    ode_nn.py:227)."""
+    import networkx as nx
+
+    from gn_ode_sir_tpu.graphs.graph import graph_from_networkx
+    from gn_ode_sir_tpu.sim import sir_classical
+
+    g = graph_from_networkx(nx.star_graph(500), "star")
+    i_j, s_j, r_j = sir_classical(g, [0], 0.4, 0.2, method="rk4")
+    assert np.isfinite(i_j).all() and np.isfinite(s_j).all()
+    i_s, s_s, _ = sir_classical(g, [0], 0.4, 0.2, engine="scipy")
+    assert np.abs(i_j - i_s).max() < 1e-4
+    # explicitly forcing substeps=1 must reproduce the coarse-grid law
+    # (same grid the non-stiff tests pin against scipy at 5e-3)
+    i_c, _, _ = sir_classical(g, [0], 0.05, 0.2, method="rk4", substeps=1)
+    i_a, _, _ = sir_classical(g, [0], 0.05, 0.2, method="rk4")
+    np.testing.assert_allclose(i_c, i_a, atol=2e-3)
