@@ -263,6 +263,15 @@ class Pallas2Adj:
         )
 
     def matvec(self, x):
+        # Mosaic faults on narrow VMEM blocks: the kernel's (k_edges, h)
+        # message block needs a lane-aligned h (64 is the measured-working
+        # width; h=1 from the classical-baseline matvec crashed the TPU
+        # worker). Zero-pad narrow feature dims up to 64 and slice back.
+        h = x.shape[-1]
+        pad = 0 if h >= 64 else 64 - h
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+
         def one(xb):
             return _spmm2_diff(
                 self.n_nodes, self.k_edges, self.r_rows, self.interpret,
@@ -271,7 +280,8 @@ class Pallas2Adj:
                 self.src_t, self.dloc_t, self.base_t, self.w_t, xb,
             )
 
-        return jax.lax.map(one, x)
+        out = jax.lax.map(one, x)
+        return out[..., :h] if pad else out
 
     def tree_flatten(self):
         leaves = (self.src_p, self.dloc, self.base, self.w_p,

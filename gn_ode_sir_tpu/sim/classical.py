@@ -128,9 +128,13 @@ def sir_classical(
             need = delta_t * rate / 2.5
             substeps = 1 << int(np.ceil(np.log2(need))) if need > 1.0 else 1
         n_coarse = int(round(max_time / delta_t))
-        # auto backend: dense MXU for small graphs, bucketed ELL at scale
-        # (keeps the enron baseline off the 4.5 GB dense adjacency)
-        adj = adjacency_from_graph(graph)
+        # dense MXU for small graphs, bucketed ELL at scale: the baseline's
+        # message width is 1, which the pallas2 kernel's VMEM tiling cannot
+        # serve efficiently, and enron's dense adjacency would be 4.5 GB
+        from gn_ode_sir_tpu.ops.spmm import DENSE_NODE_THRESHOLD
+
+        kind = "dense" if graph.n_nodes <= DENSE_NODE_THRESHOLD else "ell"
+        adj = adjacency_from_graph(graph, kind=kind)
         traj = _integrate_coarse(
             (jnp.asarray(s0, jnp.float32), jnp.asarray(i0, jnp.float32),
              jnp.asarray(r0, jnp.float32)),
