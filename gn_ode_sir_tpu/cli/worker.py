@@ -267,19 +267,22 @@ def run_dmp(args, g, data, splits):
 
 
 def run_rk(args, g, data, splits):
-    """Classical mean-field baseline on the test split (``ode_nn.py:606-622``)."""
-    from gn_ode_sir_tpu.sim import sir_classical
+    """Classical mean-field baseline on the test split (``ode_nn.py:606-622``).
+
+    All test trials integrate in ONE compiled program (the [B, n] batched
+    field amortizes the dense-adjacency read; see ``sir_classical_batch``)."""
+    from gn_ode_sir_tpu.sim import sir_classical_batch
 
     _, _, te = splits
     t0 = time.time()
-    losses = []
-    for i in te:
-        i_t, s_t, r_t = sir_classical(
-            g, np.nonzero(data.i0[i])[0], float(data.beta[i]), float(data.gamma[i]),
-            delta_t=args.deltaT, max_time=args.maxTime,
-        )
-        pred = np.stack([s_t, i_t, r_t], -1)
-        losses.append(np.abs(pred - data.labels[i]).mean())
+    seed_sets = [np.nonzero(data.i0[i])[0] for i in te]
+    i_b, s_b, r_b = sir_classical_batch(
+        g, seed_sets,
+        [float(data.beta[i]) for i in te], [float(data.gamma[i]) for i in te],
+        delta_t=args.deltaT, max_time=args.maxTime,
+    )
+    preds = np.stack([s_b, i_b, r_b], -1)  # [B, T, n, 3]
+    losses = [np.abs(preds[k] - data.labels[i]).mean() for k, i in enumerate(te)]
     dt = time.time() - t0
     loss = float(np.mean(losses))
     print(f"Runge-kutta baseline Loss: {loss:.5f}")

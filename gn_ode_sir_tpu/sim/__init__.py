@@ -12,7 +12,7 @@ from gn_ode_sir_tpu.sim.mc_sir import (
     simulate_sir_counts,
     simulate_sir_per_sim,
 )
-from gn_ode_sir_tpu.sim.classical import sir_classical, sir_field
+from gn_ode_sir_tpu.sim.classical import sir_classical, sir_classical_batch, sir_field
 
 __all__ = [
     "simulate_sir",
@@ -20,4 +20,5 @@ __all__ = [
     "simulate_sir_per_sim",
     "sir_classical",
     "sir_field",
+    "sir_classical_batch",
 ]
