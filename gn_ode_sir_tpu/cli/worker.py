@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "dense", "dense-bf16", "coo", "ell",
                             "pallas2", "pallas2-bf16"],
                    help="message-passing backend for GN-ODE")
+    p.add_argument("--sim_matmul", default="auto", choices=["auto", "bf16", "int8"],
+                   help="MC neighbor-count matmul dtype (int8 MXU is exact "
+                        "and the fast TPU path; auto = int8 on TPU)")
     p.add_argument("--coins", default="bits16", choices=["bits16", "bits32", "uniform", "pallas"],
                    help="MC simulator coin generation mode")
     p.add_argument("--sims_chunk", type=int, default=None,
@@ -136,6 +139,7 @@ def load_experiment(args):
                 key=jax.random.PRNGKey(1000 + k),
                 sims_chunk=args.sims_chunk,
                 coins=args.coins,
+                matmul=args.sim_matmul,
             )
         )
     data = build_trial_data(g.n_nodes, i_indices, args.beta, args.gamma, triples)
@@ -492,7 +496,8 @@ _CONFIG_TO_FLAG = {
     "train_val_test_ratio": "train_val_test_ratio", "trial": "trial",
     "method": "method", "adjoint": "adjoint", "seed": "seed",
     "out_of_dist": "out_of_dist", "i_indices": "I_indices",
-    "spmm": "spmm", "coins": "coins", "mg_adj": "mg_adj",
+    "spmm": "spmm", "coins": "coins", "sim_matmul": "sim_matmul",
+    "mg_adj": "mg_adj",
     "sims_chunk": "sims_chunk", "instances_per_graph": "instances_per_graph",
     "node_split": "node_split", "eval_batch_size": "eval_batch_size",
 }

@@ -11,8 +11,10 @@ TPU-native formulation: instead of drawing one coin per infected->susceptible
 contact (data-dependent shapes, ``ode_nn.py:61-65``), we use the exact
 per-node law: a susceptible node with k infected neighbors gets infected with
 probability 1 - (1-beta)^k. That needs only the infected-neighbor COUNT
-(one MXU matmul: I @ A, with A bf16 {0,1} — exact, counts are small
-integers accumulated in f32) plus one random word per node. All ``sims``
+(one MXU matmul: I @ A with a {0,1} adjacency — int8 with s32 accumulation
+on TPU, bf16 with f32 accumulation elsewhere; both EXACT, and bit-identical
+label output between the two, with int8 measured up to 26% faster at enron
+scale where the matmul dominates) plus one random word per node. All ``sims``
 trajectories advance together as a [sims, n] matrix in a single
 ``lax.scan``; per-sim state indicators are summed on the fly so memory stays
 [sims, n] regardless of T.
@@ -55,14 +57,22 @@ def _device_adjacency(graph: Graph, dtype) -> jax.Array:
     return arr
 
 
-def _sir_transition(s, i, r, a_bf16, log1m_beta, gamma, key, t, coins):
+def _sir_transition(s, i, r, a_mm, log1m_beta, gamma, key, t, coins):
     """One synchronous SIR step on the [sims, n] state matrix."""
     sims, n = s.shape
     k = jax.random.fold_in(key, t)
-    # infected-neighbor counts via MXU matmul (A symmetric, {0,1})
-    counts = jnp.dot(
-        i.astype(jnp.bfloat16), a_bf16, preferred_element_type=jnp.float32
-    )
+    # infected-neighbor counts via MXU matmul (A symmetric, {0,1}).
+    # Both dtypes are EXACT for indicator x adjacency products: bf16
+    # accumulates in f32, int8 in int32 (counts <= max_degree << 2^31);
+    # int8 runs the v5e MXU at ~2x its bf16 rate.
+    if a_mm.dtype == jnp.int8:
+        counts = jnp.dot(
+            i.astype(jnp.int8), a_mm, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    else:
+        counts = jnp.dot(
+            i.astype(a_mm.dtype), a_mm, preferred_element_type=jnp.float32
+        )
     if coins == "pallas":
         # fused coins+update with the on-chip hardware PRNG (TPU only)
         from gn_ode_sir_tpu.sim.pallas_step import sir_update_pallas
@@ -100,7 +110,7 @@ def _init_state(seeds_mask, sims):
 
 
 @partial(jax.jit, static_argnames=("sims", "max_time", "coins"))
-def _simulate_chunk(a_bf16, seeds_mask, beta, gamma, key, *, sims: int,
+def _simulate_chunk(a_mm, seeds_mask, beta, gamma, key, *, sims: int,
                     max_time: int, coins: str = "bits16"):
     """Run ``sims`` trajectories; return per-step indicator SUMS [T, 3, n] f32.
 
@@ -111,7 +121,7 @@ def _simulate_chunk(a_bf16, seeds_mask, beta, gamma, key, *, sims: int,
     gamma = jnp.float32(gamma)
 
     def step(carry, t):
-        s, i, r = _sir_transition(*carry, a_bf16, log1m_beta, gamma, key, t, coins)
+        s, i, r = _sir_transition(*carry, a_mm, log1m_beta, gamma, key, t, coins)
         return (s, i, r), jnp.stack([s.sum(0), i.sum(0), r.sum(0)])
 
     _, sums = jax.lax.scan(step, (s0, i0, r0), jnp.arange(1, max_time))
@@ -120,7 +130,7 @@ def _simulate_chunk(a_bf16, seeds_mask, beta, gamma, key, *, sims: int,
 
 
 @partial(jax.jit, static_argnames=("sims", "max_time", "coins"))
-def _simulate_chunk_per_sim(a_bf16, seeds_mask, beta, gamma, key, *, sims: int,
+def _simulate_chunk_per_sim(a_mm, seeds_mask, beta, gamma, key, *, sims: int,
                             max_time: int, coins: str = "bits16"):
     """Per-simulation indicator trajectories, [3, T, sims, n] uint8."""
     s0, i0, r0 = _init_state(seeds_mask, sims)
@@ -128,7 +138,7 @@ def _simulate_chunk_per_sim(a_bf16, seeds_mask, beta, gamma, key, *, sims: int,
     gamma = jnp.float32(gamma)
 
     def step(carry, t):
-        s, i, r = _sir_transition(*carry, a_bf16, log1m_beta, gamma, key, t, coins)
+        s, i, r = _sir_transition(*carry, a_mm, log1m_beta, gamma, key, t, coins)
         out = jnp.stack([s, i, r]).astype(jnp.uint8)
         return (s, i, r), out
 
@@ -148,6 +158,7 @@ def simulate_sir_counts(
     key=None,
     sims_chunk: int | None = None,
     coins: str = "bits16",
+    matmul: str = "auto",
 ):
     """Indicator-count sums [max_time, 3, n] over ``sims`` trajectories.
 
@@ -158,7 +169,13 @@ def simulate_sir_counts(
         raise ValueError(f"coins must be one of {_COIN_MODES}, got {coins!r}")
     if key is None:
         key = jax.random.PRNGKey(0)
-    a = _device_adjacency(graph, jnp.bfloat16)
+    if matmul == "auto":
+        # int8 MXU (s8xs8->s32) is exactly equal in output and measured
+        # faster where the matmul dominates (enron 10k sims: 2,818/s vs
+        # 2,229 bf16; openflights +6%; wiki-vote within tunnel noise);
+        # CPU XLA lowers int8 dots poorly, so stay bf16 off-TPU
+        matmul = "bf16" if jax.default_backend() == "cpu" else "int8"
+    a = _device_adjacency(graph, jnp.int8 if matmul == "int8" else jnp.bfloat16)
     seeds_mask = np.zeros(graph.n_nodes, np.float32)
     seeds_mask[np.asarray(seed_nodes)] = 1.0
     seeds_mask = jnp.asarray(seeds_mask)
@@ -236,6 +253,7 @@ def simulate_sir(
     key=None,
     sims_chunk: int | None = None,
     coins: str = "bits16",
+    matmul: str = "auto",
 ):
     """Per-node S/I/R probabilities, each [max_time, n] (the label triple).
 
@@ -252,6 +270,7 @@ def simulate_sir(
         key=key,
         sims_chunk=sims_chunk,
         coins=coins,
+        matmul=matmul,
     )
     probs = np.asarray(sums, dtype=np.float64) / float(sims)
     return probs[:, 0, :], probs[:, 1, :], probs[:, 2, :]

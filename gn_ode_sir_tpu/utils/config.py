@@ -45,6 +45,7 @@ class ExperimentConfig:
     # performance knobs
     spmm: str = "auto"  # GN-ODE message-passing backend: auto|dense|coo|ell
     coins: str = "bits16"  # MC simulator coin mode: bits16|bits32|uniform|pallas
+    sim_matmul: str = "auto"  # MC neighbor-count matmul dtype: auto|bf16|int8
     mg_adj: str = "auto"  # multi-graph adjacency backend: auto|coo|dense
     sims_chunk: int | None = None  # MC simulator HBM chunking
     eval_batch_size: int = 8

@@ -81,6 +81,7 @@ def load_or_extract_labels(
     key=None,
     sims_chunk: int | None = None,
     coins: str = "bits16",
+    matmul: str = "auto",
 ):
     """Cache-or-simulate, mirroring ``load_SIR_labels`` in every driver."""
     if save_dir is not None:
@@ -100,6 +101,7 @@ def load_or_extract_labels(
         key=key,
         sims_chunk=sims_chunk,
         coins=coins,
+        matmul=matmul,
     )
     if save_dir is not None:
         os.makedirs(save_dir, exist_ok=True)

@@ -160,3 +160,21 @@ def test_per_sim_matches_counts(karate):
     np.testing.assert_array_equal(s.sum(0), sums[:, 0])
     np.testing.assert_array_equal(i.sum(0), sums[:, 1])
     np.testing.assert_array_equal(r.sum(0), sums[:, 2])
+
+
+def test_int8_matmul_mode_bit_identical(karate):
+    """The int8 MXU counts path (s8 x s8 -> s32) must produce BIT-IDENTICAL
+    labels to the bf16 path: indicator x {0,1}-adjacency products and their
+    small-integer sums are exact in both dtypes, so the same coin stream
+    yields the same trajectories."""
+    import jax
+
+    from gn_ode_sir_tpu.sim import simulate_sir
+
+    k = jax.random.PRNGKey(11)
+    s1, i1, r1 = simulate_sir(karate, [0, 5], 0.3, 0.2, sims=1500, key=k,
+                              matmul="bf16")
+    s2, i2, r2 = simulate_sir(karate, [0, 5], 0.3, 0.2, sims=1500, key=k,
+                              matmul="int8")
+    for a, b in ((s1, s2), (i1, i2), (r1, r2)):
+        np.testing.assert_array_equal(a, b)
