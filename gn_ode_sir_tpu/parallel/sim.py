@@ -28,6 +28,7 @@ def simulate_sir_sharded(
     max_time: int = 20,
     key=None,
     axis: str = "data",
+    matmul: str = "auto",
 ):
     """Per-node S/I/R probabilities [max_time, n] each, sims sharded on ``axis``."""
     if key is None:
@@ -36,7 +37,11 @@ def simulate_sir_sharded(
     sims_local = -(-sims // n_dev)  # ceil; total = sims_local * n_dev
     total = sims_local * n_dev
 
-    a = jnp.asarray(graph.dense_adjacency, jnp.bfloat16)
+    if matmul == "auto":  # same policy as simulate_sir: int8 MXU on TPU
+        matmul = "bf16" if jax.default_backend() == "cpu" else "int8"
+    a = jnp.asarray(
+        graph.dense_adjacency, jnp.int8 if matmul == "int8" else jnp.bfloat16
+    )
     seeds_mask = jnp.zeros(graph.n_nodes, jnp.float32)
     seeds_mask = seeds_mask.at[jnp.asarray(np.asarray(seed_nodes))].set(1.0)
 
