@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "dense", "dense-bf16", "coo", "ell",
                             "pallas2", "pallas2-bf16"],
                    help="message-passing backend for GN-ODE")
+    p.add_argument("--gnode_dtype", default="f32", choices=["f32", "bf16"],
+                   help="GN-ODE state/matmul compute dtype (bf16 = mixed-"
+                        "precision: f32 params/decode, bf16 solver state)")
     p.add_argument("--sim_matmul", default="auto", choices=["auto", "bf16", "int8"],
                    help="MC neighbor-count matmul dtype (int8 MXU is exact "
                         "and the fast TPU path; auto = int8 on TPU)")
@@ -196,6 +199,7 @@ def run_trainable(args, g, data, splits):
             delta_t=args.deltaT,
             method=args.method,
             adjoint=args.adjoint,
+            compute_dtype=args.gnode_dtype,
         )
         adj = _gnode_adjacency(args, g)
     elif args.model == "GCN":
@@ -368,7 +372,8 @@ def run_multigraph(args):
 
     if args.model == "ode_nn":
         model = GNODE(hidden=args.hidden, max_time=args.maxTime, delta_t=args.deltaT,
-                      method=args.method, adjoint=args.adjoint)
+                      method=args.method, adjoint=args.adjoint,
+                      compute_dtype=args.gnode_dtype)
         adj_fn, node_mask_fn, adj_aux = multigraph_adj_fns(batch, kind=args.mg_adj)
     elif args.model == "GCN":
         model = TimeUnrolledSIR(GCN(input_dim=5, hidden_dim=args.hidden,
@@ -497,6 +502,7 @@ _CONFIG_TO_FLAG = {
     "method": "method", "adjoint": "adjoint", "seed": "seed",
     "out_of_dist": "out_of_dist", "i_indices": "I_indices",
     "spmm": "spmm", "coins": "coins", "sim_matmul": "sim_matmul",
+    "gnode_dtype": "gnode_dtype",
     "mg_adj": "mg_adj",
     "sims_chunk": "sims_chunk", "instances_per_graph": "instances_per_graph",
     "node_split": "node_split", "eval_batch_size": "eval_batch_size",

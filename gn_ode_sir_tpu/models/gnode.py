@@ -45,16 +45,22 @@ from gn_ode_sir_tpu.odeint import odeint_grid, resample_integer_times
 
 
 def gnode_ode_func(t, y, args, *, activation: str, deriv_layernorm: bool):
-    """The GN-ODE vector field. y = (S, I, R) embeddings, each [B, n, h]."""
+    """The GN-ODE vector field. y = (S, I, R) embeddings, each [B, n, h].
+
+    Dtype-polymorphic: with a bfloat16 state (``GNODE(compute_dtype='bf16')``)
+    every op below stays bf16 (matmul accumulation in f32, result cast
+    back), engaging the MXU's native bf16 rate; the casts are no-ops in the
+    default f32 path."""
     params, beta, gamma, adj = args
+    dt = y[0].dtype
     z = jnp.stack(y)  # [3, B, n, h]
     z = linear(params["func"], z)
     z = jax.nn.sigmoid(z) if activation == "sigmoid" else jax.nn.relu(z)
     zs, zi, zr = z[0], z[1], z[2]
     del zr  # recovered-channel embedding does not enter the derivative
-    ai = adj.matvec(zi)
-    b = beta[:, None, None]
-    g = gamma[:, None, None]
+    ai = adj.matvec(zi).astype(dt)
+    b = beta.astype(dt)[:, None, None]
+    g = gamma.astype(dt)[:, None, None]
     ds = -b * ai * zs
     di = -ds - g * zi
     dr = g * zi
@@ -90,6 +96,8 @@ class GNODE:
     activation: str = "sigmoid"
     deriv_layernorm: bool = False
     encode_r: bool = True
+    compute_dtype: str = "f32"  # 'bf16': ODE state + matmuls in bfloat16
+    # (params/optimizer/decode stay f32 — the standard mixed-precision recipe)
 
     @property
     def ts(self) -> np.ndarray:
@@ -126,23 +134,32 @@ class GNODE:
         i = enc(i0)
         r = enc(r0) if self.encode_r else jnp.zeros_like(s)
 
+        fparams = params
+        if self.compute_dtype == "bf16":
+            # bf16 state + bf16 field params: the whole solver scan runs at
+            # the MXU's native bf16 rate; gradients flow back through the
+            # casts to the f32 master params
+            cast = lambda x: x.astype(jnp.bfloat16)
+            s, i, r = cast(s), cast(i), cast(r)
+            fparams = jax.tree_util.tree_map(cast, params)
+
         func = _get_func(self.activation, self.deriv_layernorm)
         ts = jnp.asarray(self.ts)
         if self.method == "dopri5_adaptive":
             from gn_ode_sir_tpu.odeint import odeint_grid_adaptive
 
-            traj = odeint_grid_adaptive(func, (s, i, r), ts, (params, beta, gamma, adj))
+            traj = odeint_grid_adaptive(func, (s, i, r), ts, (fparams, beta, gamma, adj))
         else:
             traj = odeint_grid(
                 func,
                 (s, i, r),
                 ts,
-                (params, beta, gamma, adj),
+                (fparams, beta, gamma, adj),
                 method=self.method,
                 adjoint=self.adjoint,
             )  # tuple of [T, B, n, h]
 
-        y = jnp.stack(traj, axis=-2)  # [T, B, n, 3, h]
+        y = jnp.stack(traj, axis=-2).astype(jnp.float32)  # [T, B, n, 3, h]
         u = jax.nn.relu(linear(params["dec1"], y))
         v = linear(params["dec2"], u)[..., 0]  # [T, B, n, 3]
         return jax.nn.softmax(v, axis=-1)

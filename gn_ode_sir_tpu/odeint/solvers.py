@@ -13,8 +13,11 @@ import jax.numpy as jnp
 
 
 def _axpy(y, d, h):
-    """y + h*d over pytrees."""
-    return jax.tree_util.tree_map(lambda a, b: a + h * b, y, d)
+    """y + h*d over pytrees, preserving each leaf's dtype (an f32 step-size
+    array would otherwise promote a bfloat16 state carry to f32)."""
+    return jax.tree_util.tree_map(
+        lambda a, b: a + jnp.asarray(h, a.dtype) * b.astype(a.dtype), y, d
+    )
 
 
 def _euler(func, t, y, dt, args):

@@ -46,6 +46,7 @@ class ExperimentConfig:
     spmm: str = "auto"  # GN-ODE message-passing backend: auto|dense|coo|ell
     coins: str = "bits16"  # MC simulator coin mode: bits16|bits32|uniform|pallas
     sim_matmul: str = "auto"  # MC neighbor-count matmul dtype: auto|bf16|int8
+    gnode_dtype: str = "f32"  # GN-ODE compute dtype: f32|bf16 (mixed precision)
     mg_adj: str = "auto"  # multi-graph adjacency backend: auto|coo|dense
     sims_chunk: int | None = None  # MC simulator HBM chunking
     eval_batch_size: int = 8

@@ -45,7 +45,8 @@ def measure_epoch(graph, kind: str, repeats: int = 3) -> float:
         gamma=rng.uniform(0.1, 0.5, n_distinct).astype(np.float32),
         labels=labels, graph_idx=np.zeros(n_distinct, np.int32),
     )
-    model = GNODE(hidden=64, max_time=20, delta_t=0.5)
+    model = GNODE(hidden=64, max_time=20, delta_t=0.5,
+                  compute_dtype="bf16" if kind.endswith("bf16") else "f32")
     optimizer = optax.adam(1e-4)
     params = model.init(jax.random.PRNGKey(0))
     opt_state = optimizer.init(params)
