@@ -234,7 +234,11 @@ def measure_ours_train_epoch(graph, repeats: int = 3):
         labels=labels,
         graph_idx=np.zeros(n_distinct, np.int32),
     )
-    model = GNODE(hidden=HIDDEN, max_time=MAX_TIME, delta_t=DELTA_T)
+    from gn_ode_sir_tpu.models.gnode import solver_policy
+
+    adjoint, unroll = solver_policy(n, HIDDEN, BATCH, MAX_TIME, DELTA_T)
+    model = GNODE(hidden=HIDDEN, max_time=MAX_TIME, delta_t=DELTA_T,
+                  adjoint=adjoint, solver_unroll=unroll)
     optimizer = optax.adam(1e-4)
     params = model.init(jax.random.PRNGKey(0))
     opt_state = optimizer.init(params)

@@ -98,6 +98,7 @@ class GNODE:
     encode_r: bool = True
     compute_dtype: str = "f32"  # 'bf16': ODE state + matmuls in bfloat16
     # (params/optimizer/decode stay f32 — the standard mixed-precision recipe)
+    solver_unroll: int = 1  # lax.scan unroll factor for the time stepper
 
     @property
     def ts(self) -> np.ndarray:
@@ -157,6 +158,7 @@ class GNODE:
                 (fparams, beta, gamma, adj),
                 method=self.method,
                 adjoint=self.adjoint,
+                unroll=self.solver_unroll,
             )  # tuple of [T, B, n, h]
 
         y = jnp.stack(traj, axis=-2).astype(jnp.float32)  # [T, B, n, 3, h]
@@ -168,6 +170,27 @@ class GNODE:
         """Probabilities at integer label times: [max_time, B, n, 3]."""
         probs = self.apply(params, adj, s0, i0, r0, beta, gamma, rng=rng, train=train)
         return resample_integer_times(probs, self.max_time, self.delta_t)
+
+
+def solver_policy(n_nodes: int, hidden: int, batch_size: int, max_time: int,
+                  delta_t: float, adjoint: str = "auto", unroll: int = 0,
+                  budget_bytes: int = 2_000_000_000):
+    """Resolve (adjoint, solver_unroll) for a training run.
+
+    Measured on TPU v5e (wiki-vote, batch 1, hidden 64): plain autodiff
+    with the time scan FULLY unrolled lets XLA fuse across steps — epoch
+    1.05 s vs 1.23 s for the per-step-rematerialized scan; partial unroll
+    is WORSE than either (1.5-2.0 s at unroll=8). Full-trajectory
+    activations cost T*3*B*n*h*4 bytes, so 'auto' picks direct+full-unroll
+    only while that estimate stays under ``budget_bytes`` (enron-scale
+    batches fall back to the O(T)-memory checkpointed scan)."""
+    n_steps = int(round(max_time / delta_t))
+    if adjoint == "auto":
+        est = n_steps * 3 * batch_size * n_nodes * hidden * 4
+        adjoint = "direct" if est < budget_bytes else "checkpoint"
+    if unroll <= 0:
+        unroll = (n_steps - 1) if adjoint == "direct" else 1
+    return adjoint, max(1, unroll)
 
 
 def legacy_dense_gnode(hidden: int = 32, max_time: int = 20, delta_t: float = 0.5) -> GNODE:

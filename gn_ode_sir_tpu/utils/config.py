@@ -38,7 +38,7 @@ class ExperimentConfig:
     trial: int = 1
     # solver
     method: str = "euler"
-    adjoint: str = "checkpoint"
+    adjoint: str = "auto"
     # protocol variants
     node_split: bool = False  # legacy transductive protocol (ode_nn.py path)
     instances_per_graph: Sequence[int] | None = None  # multi-graph trial counts
@@ -47,6 +47,7 @@ class ExperimentConfig:
     coins: str = "bits16"  # MC simulator coin mode: bits16|bits32|uniform|pallas
     sim_matmul: str = "auto"  # MC neighbor-count matmul dtype: auto|bf16|int8
     gnode_dtype: str = "f32"  # GN-ODE compute dtype: f32|bf16 (mixed precision)
+    solver_unroll: int = 0  # time-scan unroll (0 = auto from solver_policy)
     mg_adj: str = "auto"  # multi-graph adjacency backend: auto|coo|dense
     sims_chunk: int | None = None  # MC simulator HBM chunking
     eval_batch_size: int = 8
