@@ -220,3 +220,19 @@ def test_dmp_cave_index():
     assert cave[0] == 1 and cave[1] == 0
     assert cave[2] == 3 and cave[3] == 2
     assert cave[4] == 5  # sentinel E
+
+
+def test_solver_policy_resolution():
+    """auto -> direct + full unroll while the trajectory fits the budget,
+    checkpointed scan beyond it; explicit choices pass through."""
+    from gn_ode_sir_tpu.models.gnode import solver_policy
+
+    # karate-scale: tiny trajectory -> direct, unroll = n_steps-1
+    adj, unroll = solver_policy(34, 64, 1, 20, 0.5)
+    assert adj == "direct" and unroll == 39
+    # enron-scale batch: 40*3*4*33696*64*4 bytes > 2 GB -> checkpoint
+    adj, unroll = solver_policy(33696, 64, 4, 20, 0.5)
+    assert adj == "checkpoint" and unroll == 1
+    # explicit override wins
+    adj, unroll = solver_policy(34, 64, 1, 20, 0.5, adjoint="backsolve", unroll=4)
+    assert adj == "backsolve" and unroll == 4
