@@ -215,18 +215,29 @@ def run_trainable(args, g, data, splits):
         )
         adj = _gnode_adjacency(args, g)
     elif args.model == "GCN":
+        from gn_ode_sir_tpu.ops.adjacency import DenseAdj
+        from gn_ode_sir_tpu.ops.spmm import DENSE_NODE_THRESHOLD
+
         model = TimeUnrolledSIR(
             GCN(input_dim=5, hidden_dim=args.hidden,
                 penultimate_dim=max(args.hidden // 2, 1), window=args.maxTime)
         )
         src, dst, w = gcn_norm_edges(g)
-        adj = CooAdj(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), g.n_nodes)
+        if g.n_nodes <= DENSE_NODE_THRESHOLD:
+            # weighted dense-MXU path: the normalized D^-1/2(A+I)D^-1/2 is a
+            # dense matrix like any other (COO segment-sum here cost 11.6
+            # s/epoch on wiki-vote single-graph vs ~1 s dense — measured)
+            a = np.zeros((g.n_nodes, g.n_nodes), np.float32)
+            a[dst, src] = w
+            adj = DenseAdj(jnp.asarray(a))
+        else:
+            adj = CooAdj(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), g.n_nodes)
     else:  # GIN
         model = TimeUnrolledSIR(
             GIN(input_dim=5, hidden_dim=args.hidden,
                 penultimate_dim=max(args.hidden // 2, 1), window=args.maxTime)
         )
-        adj = adjacency_from_graph(g, prefer_dense=False)
+        adj = adjacency_from_graph(g)  # auto: dense MXU under the threshold
 
     params = model.init(jax.random.PRNGKey(args.seed))
     res = fit(
