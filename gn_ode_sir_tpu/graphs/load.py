@@ -40,12 +40,12 @@ def load_graph(path: str, n_random: int = 50, seed: int = 0) -> Graph:
     pkl = path if path.endswith(".pkl") else path + ".pkl"
     if not os.path.exists(pkl) and not os.path.isabs(pkl):
         # reference-style relative paths ('./real_graphs/karate',
-        # monitorer-sim.py:23) resolve against GN_ODE_SIR_DATA_ROOT or the
-        # mounted reference checkout, so monitorer defaults work anywhere
-        for root in (os.environ.get("GN_ODE_SIR_DATA_ROOT"), "/root/reference"):
-            if root and os.path.exists(os.path.join(root, pkl)):
-                pkl = os.path.join(root, pkl)
-                break
+        # monitorer-sim.py:23) resolve against GN_ODE_SIR_DATA_ROOT only —
+        # no machine-specific fallback baked into library code; the CLI
+        # layer may default the env var for its own host (cli/__init__.py)
+        root = os.environ.get("GN_ODE_SIR_DATA_ROOT")
+        if root and os.path.exists(os.path.join(root, pkl)):
+            pkl = os.path.join(root, pkl)
     with open(pkl, "rb") as f:
         G = pickle.load(f)
     G = G.to_undirected()

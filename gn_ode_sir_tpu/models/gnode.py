@@ -172,9 +172,29 @@ class GNODE:
         return resample_integer_times(probs, self.max_time, self.delta_t)
 
 
+def device_activation_budget(default: int = 2_000_000_000) -> int:
+    """Activation-memory budget for the direct+unroll solver, derived from
+    the device: 1/8 of ``memory_stats()['bytes_limit']`` (params, labels,
+    optimizer state, fwd+bwd working set and XLA scratch share the HBM, and
+    the bwd pass roughly doubles the live trajectory, so the full budget is
+    never available to stored activations alone). On a 16 GB v5e this lands
+    at ~2 GB — the empirically validated round-2 threshold (enron-scale
+    batches fall back to the checkpointed scan) — and scales correctly on
+    smaller/larger parts. Falls back to 2 GB where ``memory_stats`` is
+    unavailable (CPU backend, some TPU tunnels)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        limit = (stats or {}).get("bytes_limit")
+        if limit:
+            return int(limit) // 8
+    except Exception:
+        pass
+    return default
+
+
 def solver_policy(n_nodes: int, hidden: int, batch_size: int, max_time: int,
                   delta_t: float, adjoint: str = "auto", unroll: int = 0,
-                  budget_bytes: int = 2_000_000_000):
+                  budget_bytes: int | None = None):
     """Resolve (adjoint, solver_unroll) for a training run.
 
     Measured on TPU v5e (wiki-vote, batch 1, hidden 64): plain autodiff
@@ -182,9 +202,12 @@ def solver_policy(n_nodes: int, hidden: int, batch_size: int, max_time: int,
     1.05 s vs 1.23 s for the per-step-rematerialized scan; partial unroll
     is WORSE than either (1.5-2.0 s at unroll=8). Full-trajectory
     activations cost T*3*B*n*h*4 bytes, so 'auto' picks direct+full-unroll
-    only while that estimate stays under ``budget_bytes`` (enron-scale
+    only while that estimate stays under ``budget_bytes`` (default: derived
+    from the device via :func:`device_activation_budget`; enron-scale
     batches fall back to the O(T)-memory checkpointed scan)."""
     n_steps = int(round(max_time / delta_t))
+    if budget_bytes is None:
+        budget_bytes = device_activation_budget()
     if adjoint == "auto":
         est = n_steps * 3 * batch_size * n_nodes * hidden * 4
         adjoint = "direct" if est < budget_bytes else "checkpoint"

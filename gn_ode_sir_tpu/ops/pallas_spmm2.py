@@ -263,12 +263,14 @@ class Pallas2Adj:
         )
 
     def matvec(self, x):
-        # Mosaic faults on narrow VMEM blocks: the kernel's (k_edges, h)
-        # message block needs a lane-aligned h (64 is the measured-working
-        # width; h=1 from the classical-baseline matvec crashed the TPU
-        # worker). Zero-pad narrow feature dims up to 64 and slice back.
+        # Mosaic faults on non-lane-aligned VMEM blocks: the kernel's
+        # (k_edges, h) message block needs a lane-aligned h (h=1 from the
+        # classical-baseline matvec crashed the TPU worker; 64 is the
+        # measured-working width). Zero-pad EVERY feature dim up to the next
+        # multiple of 64 — not just h<64: an unaligned h>64 (e.g. --hidden
+        # 100) is the same fault class — and slice back.
         h = x.shape[-1]
-        pad = 0 if h >= 64 else 64 - h
+        pad = (-h) % 64
         if pad:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
 

@@ -20,8 +20,12 @@ sparse backends serve poorly (XLA compiles pathological layouts for
 trailing dims of 1 at scale), so ALL trials of a batch integrate together
 as a [B, n] state matrix against the dense {0,1} adjacency — one MXU
 matmul per derivative evaluation amortizes the adjacency read over the
-batch. f32 up to ~38k nodes, bf16 beyond (the {0,1} adjacency is exact in
-bf16; enron f32 dense would be 4.5 GB vs 2.3 GB).
+batch. f32 up to ~38k nodes — every shipped graph, including enron at
+33,696 nodes (4.5 GB dense), stays on the f32 path; beyond the threshold
+the adjacency drops to bf16 (exact for {0,1} entries, halving HBM). No
+shipped dataset crosses the threshold, so the bf16 branch is covered by
+unit test only (``tests/test_sim.py::test_classical_bf16_branch``), not by
+a trigger-scale run.
 """
 
 from __future__ import annotations
@@ -94,18 +98,24 @@ _MAX_INTERVALS_PER_DISPATCH = 2048
 
 def _integrate_coarse_batch(y0, a, beta, gamma, *, method, substeps, n_coarse,
                             delta_t):
-    chunk = max(1, _MAX_INTERVALS_PER_DISPATCH // substeps)
+    # one program SHAPE serves every dispatch: the tail chunk is padded to
+    # the full chunk length (surplus states discarded) so stiff multi-chunk
+    # runs don't pay a second remote-TPU compile (15-300 s through the
+    # tunnel) for an odd-length final program
+    chunk = min(max(1, _MAX_INTERVALS_PER_DISPATCH // substeps), n_coarse - 1)
     states = [tuple(y[None] for y in y0)]
     y = y0
     k0 = 0
     while k0 < n_coarse - 1:
-        ks = jnp.arange(k0, min(k0 + chunk, n_coarse - 1))
+        m = min(chunk, n_coarse - 1 - k0)
+        ks = jnp.arange(k0, k0 + chunk)  # surplus intervals integrate past
+        # the horizon (same field, finite states) and are sliced away below
         y, tail = _advance_chunk(
             y, a, beta, gamma, ks,
             method=method, substeps=substeps, delta_t=delta_t,
         )
-        states.append(tail)
-        k0 += int(ks.shape[0])
+        states.append(tuple(s[:m] for s in tail))
+        k0 += m
     return tuple(
         jnp.concatenate([s[c] for s in states], axis=0) for c in range(len(y0))
     )

@@ -225,13 +225,21 @@ def test_dmp_cave_index():
 def test_solver_policy_resolution():
     """auto -> direct + full unroll while the trajectory fits the budget,
     checkpointed scan beyond it; explicit choices pass through."""
-    from gn_ode_sir_tpu.models.gnode import solver_policy
+    from gn_ode_sir_tpu.models.gnode import device_activation_budget, solver_policy
+
+    # budget derives from the device (1/8 of bytes_limit when the backend
+    # reports one; the CPU test backend usually falls back to 2 GB) — on a
+    # 16 GB v5e this reproduces the validated ~2 GB threshold
+    budget = device_activation_budget()
+    assert 1_000_000_000 <= budget <= 8_000_000_000
 
     # karate-scale: tiny trajectory -> direct, unroll = n_steps-1
     adj, unroll = solver_policy(34, 64, 1, 20, 0.5)
     assert adj == "direct" and unroll == 39
-    # enron-scale batch: 40*3*4*33696*64*4 bytes > 2 GB -> checkpoint
-    adj, unroll = solver_policy(33696, 64, 4, 20, 0.5)
+    # enron-scale batch: 40*3*4*33696*64*4 bytes ~ 4.1 GB -> checkpoint at
+    # the 2 GB threshold (pinned explicitly so the assertion is
+    # device-independent)
+    adj, unroll = solver_policy(33696, 64, 4, 20, 0.5, budget_bytes=2_000_000_000)
     assert adj == "checkpoint" and unroll == 1
     # explicit override wins
     adj, unroll = solver_policy(34, 64, 1, 20, 0.5, adjoint="backsolve", unroll=4)

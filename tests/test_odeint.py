@@ -165,3 +165,34 @@ def test_sir_classical_stiff_graph_substepping():
     i_c, _, _ = sir_classical(g, [0], 0.05, 0.2, method="rk4", substeps=1)
     i_a, _, _ = sir_classical(g, [0], 0.05, 0.2, method="rk4")
     np.testing.assert_allclose(i_c, i_a, atol=2e-3)
+
+
+def test_classical_bf16_branch(karate, monkeypatch):
+    """Above _BF16_NODE_THRESHOLD the dense adjacency drops to bfloat16
+    (exact {0,1} entries); no shipped graph triggers it, so pin the branch
+    here by lowering the threshold: trajectories must stay finite and track
+    the f32 path to bf16 activation precision."""
+    from gn_ode_sir_tpu.sim import classical
+
+    i_f, s_f, r_f = classical.sir_classical(karate, [0, 5], 0.3, 0.2, max_time=10)
+    monkeypatch.setattr(classical, "_BF16_NODE_THRESHOLD", 1)
+    i_b, s_b, r_b = classical.sir_classical(karate, [0, 5], 0.3, 0.2, max_time=10)
+    assert np.isfinite(i_b).all()
+    assert np.abs(np.asarray(i_b) - np.asarray(i_f)).max() < 3e-2
+    assert np.abs(np.asarray(s_b) + np.asarray(i_b) + np.asarray(r_b) - 1).max() < 5e-2
+
+
+def test_classical_tail_chunk_padding(karate, monkeypatch):
+    """Chunked dispatch pads the ragged tail chunk to the full chunk length
+    (one compiled program shape serves all dispatches); the padded surplus
+    states must be discarded exactly — the multi-dispatch trajectory equals
+    the single-dispatch one."""
+    from gn_ode_sir_tpu.sim import classical
+
+    one = classical.sir_classical(karate, [3], 0.3, 0.2, max_time=20, substeps=2)
+    # chunk = 16//2 = 8 intervals/dispatch over 39 intervals -> 4 full
+    # chunks + ragged tail of 7 (padded to 8 internally)
+    monkeypatch.setattr(classical, "_MAX_INTERVALS_PER_DISPATCH", 16)
+    many = classical.sir_classical(karate, [3], 0.3, 0.2, max_time=20, substeps=2)
+    for a, b in zip(one, many):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -235,3 +235,23 @@ def test_pallas2_bf16_close_to_f32(random_graph):
         np.asarray(gf), np.asarray(ge),
         atol=2e-2 * float(jnp.abs(ge).max()),
     )
+
+
+def test_pallas2_unaligned_h_padding(random_graph):
+    """Every feature width pads up to the next multiple of 64 before entering
+    the kernel (an unaligned h>64, e.g. --hidden 100, is the same Mosaic
+    VMEM-block fault class as the h=1 crash): h in {1, 8, 100} must all
+    match the COO oracle exactly after the internal pad+slice."""
+    from gn_ode_sir_tpu.ops.pallas_spmm2 import Pallas2Adj
+
+    g = random_graph
+    rng = np.random.default_rng(11)
+    p2 = Pallas2Adj.from_graph(g, k_edges=32, r_rows=8)
+    coo = adjacency_from_graph(g, prefer_dense=False)
+    for h in (1, 8, 100):
+        x = jnp.asarray(rng.standard_normal((2, g.n_nodes, h)), jnp.float32)
+        out = p2.matvec(x)
+        assert out.shape == (2, g.n_nodes, h)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(coo.matvec(x)), rtol=1e-4, atol=1e-4
+        )
