@@ -90,11 +90,13 @@ def build_worker_argv(cfg: MatrixConfig, dataset, path_to_save, hidden, trial,
         "--deltaT", str(cfg.delta_t), "--maxTime", str(cfg.max_time),
         "--sim", str(cfg.sim), "--trial", str(trial), "--dataset", dataset,
         "--path_to_save", path_to_save, "--model", cfg.model,
-        # distinct model-init seed per repeat (the reference's
-        # hidden_dim_array=[8,8,8,8] runs differ only by torch's unseeded
-        # init, monitorer-ngraphs.py:20); trial params stay pinned by the
-        # persisted pickles
-        "--seed", str((cfg.seed or 0) + trial - 1),
+        # --seed pins trial sampling/splits ACROSS repeats (single-graph:
+        # via the persisted pickles; multi-graph: the worker persists
+        # per-graph initial-*.pkl the same way); only the model-init seed
+        # varies per repeat — the reference's hidden_dim_array=[8,8,8,8]
+        # runs differ only by torch's unseeded init (monitorer-ngraphs.py:20)
+        "--seed", str(cfg.seed or 0),
+        "--init_seed", str((cfg.seed or 0) + trial - 1),
     ]
     if i_indices:
         argv += ["--I_indices", *[str(i) for i in i_indices]]

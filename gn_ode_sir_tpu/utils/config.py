@@ -53,6 +53,8 @@ class ExperimentConfig:
     eval_batch_size: int = 8
     # runtime
     seed: int = 0
+    init_seed: int | None = None  # model-init seed (None: follow seed);
+    # repeats share `seed` (pinned trials/splits) and vary `init_seed`
     mesh_shape: Sequence[int] = ()
 
     def to_json(self) -> str:

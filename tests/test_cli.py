@@ -65,6 +65,19 @@ def test_worker_multigraph(tmp_path):
     assert (tmp_path / "Experiments-seed2-dolphins").is_dir()
     assert (tmp_path / "Metrics-trials-karate+dolphins").exists()
 
+    # per-graph trial params are persisted (reference initial-*.pkl layout,
+    # ode_nn_ngraphs.py:326-328) and a repeat run with a DIFFERENT sampling
+    # seed + init seed reuses them — repeats train on identical trials
+    import pickle
+
+    beta_pkl = tmp_path / "Experiments-seed2-dolphins" / "initial-beta.pkl"
+    assert beta_pkl.exists()
+    betas_first = pickle.load(open(beta_pkl, "rb"))
+    assert len(betas_first) >= 6
+    rc = worker.main(argv[:-1] + ["7", "--init_seed", "9"])
+    assert rc == 0
+    assert pickle.load(open(beta_pkl, "rb")) == betas_first
+
 
 def test_worker_config_json(tmp_path):
     """--config supplies defaults; explicit flags still win."""
