@@ -99,8 +99,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", default=None,
                    help="JSON ExperimentConfig file; its fields become flag "
                         "defaults (explicit flags still win)")
-    p.add_argument("--mg_adj", default="auto", choices=["auto", "coo", "dense"],
-                   help="multi-graph adjacency backend (auto: dense-MXU blocks when the stack fits HBM, measured 2.7x faster and more robust than the COO scatter at 7k-node padding)")
+    p.add_argument("--mg_adj", default="auto",
+                   choices=["auto", "coo", "dense", "pallas2"],
+                   help="multi-graph adjacency backend (auto: dense-MXU "
+                        "blocks while the [G,n,n] stack fits HBM — measured "
+                        "2.7x faster than COO at 7k-node padding; above the "
+                        "limit, stacked Pallas2 chunk plans with graph-"
+                        "homogeneous batches on TPU / COO on CPU)")
     return p
 
 
@@ -339,7 +344,9 @@ def run_multigraph(args):
         assemble_multigraph_trials,
         fit,
         multigraph_adj_fns,
+        multigraph_pallas2_fns,
         multigraph_split,
+        resolve_mg_kind,
     )
     from gn_ode_sir_tpu.utils.config import ExperimentConfig
     from gn_ode_sir_tpu.utils.csvsink import save_trial_to_csv
@@ -432,6 +439,7 @@ def run_multigraph(args):
     print(f"graphs: {names}, padded to n={batch.n_max}, e={batch.e_max}")
     tr, va, te = multigraph_split(counts)
 
+    gcn_norm = args.model == "GCN"
     if args.model == "ode_nn":
         from gn_ode_sir_tpu.models.gnode import solver_policy
 
@@ -442,22 +450,35 @@ def run_multigraph(args):
         model = GNODE(hidden=args.hidden, max_time=args.maxTime, delta_t=args.deltaT,
                       method=args.method, adjoint=adjoint,
                       compute_dtype=args.gnode_dtype, solver_unroll=unroll)
-        adj_fn, node_mask_fn, adj_aux = multigraph_adj_fns(batch, kind=args.mg_adj)
     elif args.model == "GCN":
         model = TimeUnrolledSIR(GCN(input_dim=5, hidden_dim=args.hidden,
                                     penultimate_dim=max(args.hidden // 2, 1),
                                     window=args.maxTime))
-        adj_fn, node_mask_fn, adj_aux = multigraph_adj_fns(batch, gcn_normalized=True, kind=args.mg_adj)
     else:
         model = TimeUnrolledSIR(GIN(input_dim=5, hidden_dim=args.hidden,
                                     penultimate_dim=max(args.hidden // 2, 1),
                                     window=args.maxTime))
-        adj_fn, node_mask_fn, adj_aux = multigraph_adj_fns(batch, kind=args.mg_adj)
+
+    kind = args.mg_adj
+    if kind == "auto":
+        kind = resolve_mg_kind(batch, gcn_normalized=gcn_norm)
+    eval_adj_fn = None
+    batch_by_graph = False
+    if kind == "pallas2":
+        # stacked per-graph chunk plans + graph-homogeneous batches: the
+        # large-scale multigraph path (unseen-enron ngraphs protocol)
+        adj_fn, eval_adj_fn, node_mask_fn, adj_aux = multigraph_pallas2_fns(
+            batch, gcn_normalized=gcn_norm, eval_graph=-1)
+        batch_by_graph = True
+    else:
+        adj_fn, node_mask_fn, adj_aux = multigraph_adj_fns(
+            batch, gcn_normalized=gcn_norm, kind=kind)
+    print(f"multigraph adjacency backend: {kind}")
 
     params = model.init(jax.random.PRNGKey(args.init_seed))
     res = fit(
         model, optax.adam(args.lr), params, data, tr, va, te, adj_fn,
-        adj_aux=adj_aux,
+        adj_aux=adj_aux, eval_adj_fn=eval_adj_fn, batch_by_graph=batch_by_graph,
         epochs=args.epochs, batch_size=args.batch_size, seed=args.init_seed,
         node_mask_fn=node_mask_fn, eval_batch_size=args.eval_batch_size,
         verbose=True, log_every=args.log_every,

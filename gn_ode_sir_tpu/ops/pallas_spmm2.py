@@ -262,15 +262,43 @@ class Pallas2Adj:
             interpret=bool(interpret), precision=precision,
         )
 
+    # Measured-safe VMEM budget for the kernel's [n_pad, h_eff] f32 output
+    # block (enron at h=64 is 8.7 MB and runs; whole-row blocks near 16 MB
+    # fault — CLAUDE.md / sim pallas history). Bounds the batch fold below.
+    _OUT_VMEM_BUDGET = 9 << 20
+
+    def _fold_group(self) -> int:
+        """How many batch samples can share ONE kernel pass (see matvec)."""
+        n_pad = (
+            (self.n_nodes + self.r_rows - 1) // self.r_rows
+        ) * self.r_rows + self.r_rows
+        max_h = (self._OUT_VMEM_BUDGET // (n_pad * 4)) // 64 * 64
+        return max(64, max_h)
+
     def matvec(self, x):
+        # The plan is SHARED across the batch, so the batch dim can fold
+        # into the feature dim: samples [n, h] stack side-by-side into one
+        # [n, g*h] message block and ONE kernel pass serves g samples (the
+        # multigraph train path batches 8 trials of the same graph — 8x
+        # fewer grid traversals than a per-sample lax.map). Group size g is
+        # bounded by the kernel's VMEM output-block budget.
+        #
         # Mosaic faults on non-lane-aligned VMEM blocks: the kernel's
         # (k_edges, h) message block needs a lane-aligned h (h=1 from the
         # classical-baseline matvec crashed the TPU worker; 64 is the
-        # measured-working width). Zero-pad EVERY feature dim up to the next
-        # multiple of 64 — not just h<64: an unaligned h>64 (e.g. --hidden
-        # 100) is the same fault class — and slice back.
-        h = x.shape[-1]
-        pad = (-h) % 64
+        # measured-working width). Zero-pad the folded feature dim up to the
+        # next multiple of 64 — not just h<64: an unaligned h>64 (e.g.
+        # --hidden 100) is the same fault class — and slice back.
+        b, n, h = x.shape
+        g = max(1, min(b, self._fold_group() // h))
+        b_pad = (-b) % g
+        if b_pad:
+            x = jnp.pad(x, ((0, b_pad), (0, 0), (0, 0)))
+        if g > 1:
+            # [B/g, g, n, h] -> [B/g, n, g*h] (sample-major feature columns)
+            x = x.reshape(-1, g, n, h).transpose(0, 2, 1, 3).reshape(-1, n, g * h)
+        hf = x.shape[-1]
+        pad = (-hf) % 64
         if pad:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
 
@@ -283,7 +311,11 @@ class Pallas2Adj:
             )
 
         out = jax.lax.map(one, x)
-        return out[..., :h] if pad else out
+        if pad:
+            out = out[..., :hf]
+        if g > 1:
+            out = out.reshape(-1, n, g, h).transpose(0, 2, 1, 3).reshape(-1, n, h)
+        return out[:b] if b_pad else out
 
     def tree_flatten(self):
         leaves = (self.src_p, self.dloc, self.base, self.w_p,
@@ -295,3 +327,74 @@ class Pallas2Adj:
     def tree_unflatten(cls, aux, children):
         return cls(*children, n_nodes=aux[0], k_edges=aux[1], r_rows=aux[2],
                    interpret=aux[3], precision=aux[4])
+
+
+_PLAN_KEYS = ("src_p", "dloc", "base", "w_p", "src_t", "dloc_t", "base_t", "w_t")
+
+
+def _pad_plan(plan: SpmmPlan, c_max: int):
+    """Pad a plan's chunk arrays to ``c_max`` chunks. Padding chunks carry
+    dst_local == r_rows everywhere (the sentinel matches no one-hot row), so
+    the kernel accumulates exactly zero for them at base row 0."""
+    C, K, R = plan.num_chunks, plan.k_edges, plan.r_rows
+    pad_c = c_max - C
+    src_p = np.concatenate([plan.src_padded, np.zeros(pad_c * K, np.int32)])
+    dloc = np.concatenate(
+        [plan.dst_local, np.full((pad_c, 8, K), R, np.int32)], axis=0
+    )
+    base = np.concatenate([plan.row_base, np.zeros(pad_c, np.int32)])
+    w_p = np.concatenate([plan.w_padded, np.zeros(pad_c * K, np.float32)])
+    return src_p, dloc, base, w_p
+
+
+def stacked_plans(edge_lists, n_nodes: int, *, k_edges: int = 512,
+                  r_rows: int = 128) -> dict:
+    """Stack per-graph (fwd, transpose) chunk plans to a SHARED (C, K, R)
+    geometry for the multigraph per-sample path.
+
+    ``edge_lists``: per graph, (src, dst, w) over its REAL edges with dst
+    sorted ascending (the :class:`~gn_ode_sir_tpu.graphs.batch.GraphBatch`
+    layout). Every graph's plan pads to the max chunk count, so a per-batch
+    gather of one graph's plan rows is a static-shape device op and all
+    batches share one compiled program. Returns a dict of [G, ...] arrays
+    (keys ``_PLAN_KEYS``) plus the static geometry under 'k_edges'/'r_rows'.
+    """
+    fwd, twd = [], []
+    for src, dst, w in edge_lists:
+        src = np.asarray(src, np.int32)
+        dst = np.asarray(dst, np.int32)
+        w = np.asarray(w, np.float32)
+        fwd.append(SpmmPlan.build(src, dst, n_nodes, w=w,
+                                  k_edges=k_edges, r_rows=r_rows))
+        order = np.argsort(src, kind="stable")
+        twd.append(SpmmPlan.build(dst[order], src[order], n_nodes, w=w[order],
+                                  k_edges=k_edges, r_rows=r_rows))
+    c_max = max(p.num_chunks for p in fwd + twd)
+    stacks = {k: [] for k in _PLAN_KEYS}
+    for f, t in zip(fwd, twd):
+        for k, arr in zip(_PLAN_KEYS[:4], _pad_plan(f, c_max)):
+            stacks[k].append(arr)
+        for k, arr in zip(_PLAN_KEYS[4:], _pad_plan(t, c_max)):
+            stacks[k].append(arr)
+    return {k: np.stack(v) for k, v in stacks.items()}
+
+
+def adj_from_stack(stack, graph_idx, n_nodes: int, *, k_edges: int,
+                   r_rows: int, interpret: bool | None = None,
+                   precision: str = "f32") -> "Pallas2Adj":
+    """Gather ONE graph's plan rows from a stacked-plan dict (device op).
+
+    ``graph_idx`` must be a scalar (or [B] of EQUAL ids — only element 0 is
+    read: callers batch graph-homogeneously, see
+    ``train.multigraph.multigraph_pallas2_fns``). ``k_edges``/``r_rows`` are
+    the STATIC geometry the stack was built with (they cannot ride inside a
+    traced aux dict).
+    """
+    g0 = jnp.asarray(graph_idx).reshape(-1)[0]
+    if interpret is None:
+        interpret = _apply_interpret_default()
+    return Pallas2Adj(
+        *(stack[k][g0] for k in _PLAN_KEYS),
+        n_nodes=n_nodes, k_edges=k_edges, r_rows=r_rows,
+        interpret=bool(interpret), precision=precision,
+    )

@@ -23,6 +23,7 @@ from gn_ode_sir_tpu.parallel.sim import simulate_sir_sharded
 from gn_ode_sir_tpu.parallel.spmd import (
     EdgeShardedCooAdj,
     make_spmd_train_step,
+    make_spmd_multigraph_train_step_2d,
     make_spmd_train_step_2d,
     spmm_edge_sharded,
 )
@@ -34,6 +35,7 @@ __all__ = [
     "replicated_sharding",
     "simulate_sir_sharded",
     "make_spmd_train_step",
+    "make_spmd_multigraph_train_step_2d",
     "make_spmd_train_step_2d",
     "EdgeShardedCooAdj",
     "spmm_edge_sharded",

@@ -30,10 +30,20 @@ from gn_ode_sir_tpu.train.loss import l1_sir_loss_sums
 
 
 def _local_spmm(src, dst, w, x, n_nodes):
-    msgs = x[:, src, :] * w[None, :, None]
-    return jax.vmap(
-        lambda m: segment_sum(m, dst, n_nodes, indices_are_sorted=False)
-    )(msgs)
+    """Local-edge-shard SpMM. src/dst/w are [E_local] (shared graph) or
+    [B, E_local] (per-sample multigraph rows gathered from a padded
+    GraphBatch whose edge dim is sharded over the edge axis)."""
+    if src.ndim == 1:
+        msgs = x[:, src, :] * w[None, :, None]
+        return jax.vmap(
+            lambda m: segment_sum(m, dst, n_nodes, indices_are_sorted=False)
+        )(msgs)
+
+    def one(s, d, ww, xb):
+        return segment_sum(xb[s] * ww[:, None], d, n_nodes,
+                           indices_are_sorted=False)
+
+    return jax.vmap(one)(src, dst, w, x)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -54,8 +64,12 @@ def _edge_spmm_bwd(axis, n_nodes, res, g):
     # d/dx: transpose SpMM over the local edge shard (swap src/dst), psummed.
     dx_local = _local_spmm(dst, src, w, g, x.shape[1])
     dx = jax.lax.psum(dx_local, axis)
-    # d/dw: per-local-edge inner product of gathered x and g rows.
-    dw = (x[:, src, :] * g[:, dst, :]).sum(axis=(0, 2))
+    # d/dw: per-local-edge inner product of gathered x and g rows
+    # (per-sample rows keep their batch axis; shared rows sum over it).
+    if src.ndim == 1:
+        dw = (x[:, src, :] * g[:, dst, :]).sum(axis=(0, 2))
+    else:
+        dw = jax.vmap(lambda s, d, xb, gb: (xb[s] * gb[d]).sum(-1))(src, dst, x, g)
     zeros_int = onp.zeros(src.shape, jax.dtypes.float0)
     return zeros_int, onp.zeros(dst.shape, jax.dtypes.float0), dw, dx
 
@@ -240,6 +254,83 @@ def make_spmd_train_step_2d(
         local_step,
         mesh=mesh,
         in_specs=(P(), P(), batch_specs, P(edge_axis), P(edge_axis), P(edge_axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_spmd_multigraph_train_step_2d(
+    model, optimizer, mesh, n_nodes: int, aux_example,
+    node_mask_fn=None, data_axis: str = "data", edge_axis: str = "edge",
+) -> Callable:
+    """dp x edge-parallel training step with PER-SAMPLE multigraph
+    connectivity — the composition the enron-scale ngraphs workload needs:
+    trials shard over ``data_axis`` AND every graph's padded edge row
+    shards over ``edge_axis``, so no single device ever holds a full
+    33k-node graph's edge list.
+
+    ``aux_example`` is the COO multigraph aux from
+    :func:`gn_ode_sir_tpu.train.multigraph_adj_fns(kind='coo')`:
+    src/dst/w [G, E] (E divisible by the edge-axis size) + node_mask
+    [G, n]. Each device gathers its trials' rows of its LOCAL edge slice —
+    [B_local, E_local] — and message passing runs through the per-sample
+    edge-sharded SpMM (partial segment sums psum over ICI; its custom VJP
+    keeps upstream grads replicated across ``edge_axis``).
+
+    Returns ``step(params, opt_state, batch, aux)``; batch dict as in
+    :func:`make_spmd_train_step`.
+    """
+
+    def local_step(params, opt_state, batch, aux):
+        gi = batch["graph_idx"]
+        adj = EdgeShardedCooAdj(
+            aux["src"][gi], aux["dst"][gi], aux["w"][gi], n_nodes, edge_axis
+        )
+        node_mask = None if node_mask_fn is None else node_mask_fn(gi, aux)
+
+        def loss_fn(p):
+            pred = model.predict(
+                p, adj, batch["s0"], batch["i0"], batch["r0"],
+                batch["beta"], batch["gamma"],
+            )
+            num, den = l1_sir_loss_sums(
+                pred, batch["labels"], trial_weight=batch.get("weight"),
+                node_mask=node_mask,
+            )
+            return num, den
+
+        (num, den), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # reduce over the data axis only: the edge-sharded VJP already
+        # psum-replicates gradients across the edge axis
+        den_tot = jax.lax.psum(den, data_axis)
+        loss = jax.lax.psum(num, data_axis) / den_tot
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, data_axis) / den_tot, grads
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    batch_specs = {
+        "s0": P(data_axis, None),
+        "i0": P(data_axis, None),
+        "r0": P(data_axis, None),
+        "beta": P(data_axis),
+        "gamma": P(data_axis),
+        "weight": P(data_axis),
+        "labels": P(data_axis, None, None, None),
+        "graph_idx": P(data_axis),
+    }
+    aux_specs = {
+        k: (P(None, edge_axis) if k in ("src", "dst", "w") else P())
+        for k in aux_example
+    }
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), batch_specs, aux_specs),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )

@@ -27,7 +27,9 @@ from gn_ode_sir_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from gn_ode_sir_tpu.train.multigraph import (
     assemble_multigraph_trials,
     multigraph_adj_fns,
+    multigraph_pallas2_fns,
     multigraph_split,
+    resolve_mg_kind,
 )
 
 __all__ = [
@@ -47,5 +49,7 @@ __all__ = [
     "restore_checkpoint",
     "assemble_multigraph_trials",
     "multigraph_adj_fns",
+    "multigraph_pallas2_fns",
     "multigraph_split",
+    "resolve_mg_kind",
 ]

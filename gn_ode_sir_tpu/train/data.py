@@ -144,6 +144,43 @@ def out_of_dist_split(path: str):
             "test_key": np.asarray(sorted(d["test"]), np.int64), "n_total": n_total}
 
 
+def epoch_batches_grouped(idx, graph_ids, batch_size: int,
+                          rng: np.random.Generator | None):
+    """Graph-HOMOGENEOUS batches of absolute trial indices.
+
+    Like :func:`epoch_batches` but every batch contains trials of a single
+    graph (each group's partial batch pads by repeating a trial of the SAME
+    graph with weight 0), so per-batch connectivity is one shared plan and
+    the Pallas SpMM folds the whole batch into one kernel grid pass
+    (``Pallas2Adj.matvec``). Group sizes are fixed by the split, so the
+    [n_batches, batch_size] shape is identical every epoch (one compiled
+    program); with ``rng``, trials shuffle within groups and batch order
+    shuffles across groups. Deviation from the reference's cross-graph
+    DataLoader shuffle (``ode_nn_ngraphs.py:179-196``): documented D15.
+    """
+    idx = np.asarray(idx)
+    gids = np.asarray(graph_ids)[idx]
+    rows, ws = [], []
+    for g in np.unique(gids):
+        gidx = idx[gids == g]
+        if rng is not None:
+            gidx = rng.permutation(gidx)
+        nb = -(-len(gidx) // batch_size)
+        pad = nb * batch_size - len(gidx)
+        w = np.ones(nb * batch_size, np.float32)
+        if pad:
+            gidx = np.concatenate([gidx, np.full(pad, gidx[0], gidx.dtype)])
+            w[-pad:] = 0.0
+        rows.append(gidx.reshape(nb, batch_size))
+        ws.append(w.reshape(nb, batch_size))
+    rows = np.concatenate(rows)
+    ws = np.concatenate(ws)
+    if rng is not None:
+        order = rng.permutation(rows.shape[0])
+        rows, ws = rows[order], ws[order]
+    return rows.astype(np.int32), ws
+
+
 def epoch_batches(n: int, batch_size: int, rng: np.random.Generator | None):
     """Batch index matrix [n_batches, batch_size] + weights [n_batches, bs].
 

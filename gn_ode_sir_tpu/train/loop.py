@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from gn_ode_sir_tpu.train.data import TrialData, epoch_batches
+from gn_ode_sir_tpu.train.data import TrialData, epoch_batches, epoch_batches_grouped
 from gn_ode_sir_tpu.train.loss import l1_sir_loss
 
 
@@ -164,6 +164,8 @@ def fit(
     seed: int = 0,
     node_mask_fn=None,
     adj_aux=None,
+    eval_adj_fn=None,
+    batch_by_graph: bool = False,
     eval_batch_size: int | None = None,
     verbose: bool = True,
     log_every: int = 50,
@@ -187,24 +189,36 @@ def fit(
     minibatch (constant closure for single-graph runs; per-trial gather for
     multi-graph). Mirrors the reference driver loop at
     ``ode_nn_ngraph_sim.py:448-467``.
+
+    ``eval_adj_fn`` (default: ``adj_fn``) lets val/test use a different
+    connectivity gather than training — the bucketed multigraph stacks
+    (``multigraph_pallas2_fns``) keep the train bucket's chunk grid small.
+    ``batch_by_graph=True`` builds graph-HOMOGENEOUS minibatches
+    (``epoch_batches_grouped``), required by adj_fns that read one shared
+    plan per batch.
     """
     d = _data_to_device(data)
     if adj_aux is not None:
         d["__adj_aux__"] = jax.tree_util.tree_map(jnp.asarray, adj_aux)
     opt_state = optimizer.init(params)
     train_epoch = make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn)
-    evaluate = make_eval_fn(model, adj_fn, node_mask_fn)
+    e_adj_fn = eval_adj_fn or adj_fn
+    evaluate = make_eval_fn(model, e_adj_fn, node_mask_fn)
     evaluate_per_trial = (
-        make_eval_per_trial_fn(model, adj_fn, node_mask_fn)
+        make_eval_per_trial_fn(model, e_adj_fn, node_mask_fn)
         if track_test_per_trial else None
     )
 
     ebs = eval_batch_size or max(batch_size, 8)
     rng = np.random.default_rng(seed)
-    val_bi, val_bw = epoch_batches(len(val_idx), ebs, None)
-    test_bi, test_bw = epoch_batches(len(test_idx), ebs, None)
-    val_bi = np.asarray(val_idx, np.int32)[val_bi]
-    test_bi = np.asarray(test_idx, np.int32)[test_bi]
+    if batch_by_graph:
+        val_bi, val_bw = epoch_batches_grouped(val_idx, data.graph_idx, ebs, None)
+        test_bi, test_bw = epoch_batches_grouped(test_idx, data.graph_idx, ebs, None)
+    else:
+        val_bi, val_bw = epoch_batches(len(val_idx), ebs, None)
+        test_bi, test_bw = epoch_batches(len(test_idx), ebs, None)
+        val_bi = np.asarray(val_idx, np.int32)[val_bi]
+        test_bi = np.asarray(test_idx, np.int32)[test_bi]
 
     best_val = float("inf")
     best_epoch = -1
@@ -251,8 +265,11 @@ def fit(
             jax.profiler.start_trace(profile_dir)
             profiling = True
         t0 = time.perf_counter()
-        bi, bw = epoch_batches(len(train_idx), batch_size, rng)
-        bi = np.asarray(train_idx, np.int32)[bi]
+        if batch_by_graph:
+            bi, bw = epoch_batches_grouped(train_idx, data.graph_idx, batch_size, rng)
+        else:
+            bi, bw = epoch_batches(len(train_idx), batch_size, rng)
+            bi = np.asarray(train_idx, np.int32)[bi]
         epoch_key = jax.random.fold_in(base_key, epoch)
         params, opt_state, train_loss = train_epoch(params, opt_state, d, bi, bw, epoch_key)
         val_loss = float(evaluate(params, d, val_bi, val_bw))

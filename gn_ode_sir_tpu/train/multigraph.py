@@ -28,6 +28,25 @@ from gn_ode_sir_tpu.train.data import build_trial_data
 MG_DENSE_BYTES_LIMIT = 2 << 30  # auto picks dense below this stack size
 
 
+def resolve_mg_kind(batch: GraphBatch, gcn_normalized: bool = False) -> str:
+    """Resolve the 'auto' multigraph adjacency backend by scale + platform.
+
+    Below the dense-stack HBM limit the [G, n, n] MXU gather wins (measured
+    2.7x over COO at 7k-node padding). Above it, TPU gets the chunked
+    Pallas kernel via the stacked-plan path (the measured-fastest sparse
+    backend: 5.0 ms/apply on enron vs 7.5 COO, RESULTS.md) — callers then
+    use :func:`multigraph_pallas2_fns` with graph-homogeneous batches.
+    The CPU backend keeps COO segment-sum (interpret-mode Pallas crawls).
+    """
+    import jax
+
+    itemsize = 4 if gcn_normalized else 2
+    stack_bytes = batch.num_graphs * batch.n_max * batch.n_max * itemsize
+    if stack_bytes <= MG_DENSE_BYTES_LIMIT:
+        return "dense"
+    return "coo" if jax.default_backend() == "cpu" else "pallas2"
+
+
 def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False,
                        kind: str = "auto"):
     """(adj_fn, node_mask_fn, adj_aux) for :func:`gn_ode_sir_tpu.train.fit`.
@@ -91,6 +110,80 @@ def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False,
         )
 
     return adj_fn, node_mask_fn, aux
+
+
+def _real_edge_lists(batch: GraphBatch, graph_ids, gcn_normalized: bool):
+    """Per-graph (src, dst, w) over REAL edges only (dst-sorted, the
+    GraphBatch layout) — plan chunk counts then reflect each graph's true
+    edge count, not the shared e_max padding."""
+    if gcn_normalized:
+        src, dst, w = _normalized_edges(batch)
+        counts = [int(batch.n_edges[g]) + int(batch.n_nodes[g]) for g in graph_ids]
+    else:
+        src, dst, w = batch.src, batch.dst, batch.edge_w
+        counts = [int(batch.n_edges[g]) for g in graph_ids]
+    return [
+        (src[g, :c], dst[g, :c], w[g, :c]) for g, c in zip(graph_ids, counts)
+    ]
+
+
+def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
+                           eval_graph: int = -1, k_edges: int = 512,
+                           r_rows: int = 128, precision: str = "f32",
+                           interpret: bool | None = None):
+    """Stacked-Pallas2 connectivity for multigraph runs ABOVE the dense
+    limit — the backend that takes the ngraphs protocol to enron scale.
+
+    Returns ``(train_adj_fn, eval_adj_fn, node_mask_fn, aux)`` for
+    ``fit(..., eval_adj_fn=..., batch_by_graph=True)``. Two bucketed plan
+    stacks ride in ``aux`` (jit ARGUMENTS, never HLO constants):
+
+    - the TRAIN stack covers only the non-eval graphs, padded to THEIR max
+      chunk count — a train step on a 7k-node train graph never traverses
+      the 33k-node eval graph's chunk grid (~2x fewer kernel grid steps at
+      the reference ngraphs composition);
+    - the EVAL stack covers all graphs at the full chunk count.
+
+    Both adj_fns gather ONE graph's plan per minibatch (``graph_idx[0]``),
+    so batches MUST be graph-homogeneous (``fit(batch_by_graph=True)``
+    builds them; the kernel then folds the whole batch into one grid pass —
+    ``Pallas2Adj.matvec``). Heterogeneous batching stays available via
+    ``multigraph_adj_fns(kind='coo'|'dense')``.
+    """
+    from gn_ode_sir_tpu.ops.pallas_spmm2 import adj_from_stack, stacked_plans
+
+    G = batch.num_graphs
+    ev = eval_graph % G
+    train_ids = [g for g in range(G) if g != ev]
+    remap = np.zeros(G, np.int32)
+    remap[train_ids] = np.arange(len(train_ids), dtype=np.int32)
+    n_max = batch.n_max
+    kw = dict(k_edges=k_edges, r_rows=r_rows)
+    train_stack = stacked_plans(
+        _real_edge_lists(batch, train_ids, gcn_normalized), n_max, **kw)
+    full_stack = stacked_plans(
+        _real_edge_lists(batch, range(G), gcn_normalized), n_max, **kw)
+    aux = {"node_mask": batch.node_mask, "p2t_remap": remap}
+    aux.update({f"p2t_{k}": v for k, v in train_stack.items()})
+    aux.update({f"p2f_{k}": v for k, v in full_stack.items()})
+
+    def node_mask_fn(graph_idx, aux):
+        return aux["node_mask"][graph_idx]
+
+    def train_adj_fn(graph_idx, aux):
+        row = aux["p2t_remap"][jnp.asarray(graph_idx).reshape(-1)[0]]
+        stack = {k: aux[f"p2t_{k}"] for k in train_stack}
+        return adj_from_stack(stack, row, n_max, k_edges=k_edges,
+                              r_rows=r_rows, interpret=interpret,
+                              precision=precision)
+
+    def eval_adj_fn(graph_idx, aux):
+        stack = {k: aux[f"p2f_{k}"] for k in full_stack}
+        return adj_from_stack(stack, graph_idx, n_max, k_edges=k_edges,
+                              r_rows=r_rows, interpret=interpret,
+                              precision=precision)
+
+    return train_adj_fn, eval_adj_fn, node_mask_fn, aux
 
 
 def _normalized_edges(batch: GraphBatch):

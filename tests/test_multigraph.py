@@ -141,3 +141,145 @@ def test_padded_edges_stay_dst_sorted():
     src, dst, w = _normalized_edges(batch)
     for g in range(dst.shape[0]):
         assert np.all(np.diff(dst[g]) >= 0), f"normalized graph {g} dst not sorted"
+
+
+def test_epoch_batches_grouped_homogeneous():
+    """Every grouped batch holds trials of one graph; coverage is exact
+    (each trial once at weight 1, padding weight 0 from the same graph);
+    the [n_batches, batch_size] shape is epoch-invariant."""
+    from gn_ode_sir_tpu.train.data import epoch_batches_grouped
+
+    graph_ids = np.asarray([0] * 5 + [1] * 9 + [2] * 4)
+    idx = np.arange(18)
+    rng = np.random.default_rng(0)
+    bi, bw = epoch_batches_grouped(idx, graph_ids, 4, rng)
+    bi2, _ = epoch_batches_grouped(idx, graph_ids, 4, rng)
+    assert bi.shape == bi2.shape == (2 + 3 + 1, 4)
+    for row, wrow in zip(bi, bw):
+        assert len(set(graph_ids[row])) == 1  # homogeneous incl. padding
+    # every trial appears exactly once with weight 1
+    counted = {}
+    for row, wrow in zip(bi, bw):
+        for i, w in zip(row, wrow):
+            if w == 1.0:
+                counted[int(i)] = counted.get(int(i), 0) + 1
+    assert counted == {int(i): 1 for i in idx}
+    # eval (no rng): deterministic, ordered
+    bi3, bw3 = epoch_batches_grouped(np.arange(5, 14), graph_ids, 8, None)
+    assert bi3.shape == (2, 8)
+    assert float(bw3.sum()) == 9.0
+
+
+def _pallas2_vs_coo_setup(two_graphs):
+    from gn_ode_sir_tpu.train import multigraph_adj_fns, multigraph_pallas2_fns
+
+    batch = pad_graphs(two_graphs, node_multiple=8, edge_multiple=16)
+    tr_fn, ev_fn, mask_fn, aux_p = multigraph_pallas2_fns(
+        batch, eval_graph=-1, k_edges=32, r_rows=8, interpret=True)
+    coo_fn, _, aux_c = multigraph_adj_fns(batch, kind="coo")
+    aux_p = jax.tree_util.tree_map(jnp.asarray, aux_p)
+    aux_c = jax.tree_util.tree_map(jnp.asarray, aux_c)
+    return batch, tr_fn, ev_fn, mask_fn, aux_p, coo_fn, aux_c
+
+
+def test_multigraph_pallas2_matches_coo(two_graphs):
+    """Stacked-plan gathers (train bucket remap + full eval stack) must
+    reproduce the COO per-sample SpMM on homogeneous batches, fwd and grad,
+    including the batch-fold path in Pallas2Adj.matvec."""
+    batch, tr_fn, ev_fn, _, aux_p, coo_fn, aux_c = _pallas2_vs_coo_setup(two_graphs)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, batch.n_max, 4)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((3, batch.n_max, 4)), jnp.float32)
+    for g_id, fn, aux in [(0, tr_fn, aux_p), (0, ev_fn, aux_p),
+                          (1, ev_fn, aux_p)]:
+        gi = jnp.full((3,), g_id, jnp.int32)
+
+        def loss(xx, fn=fn, aux=aux, gi=gi):
+            return (fn(gi, aux).matvec(xx) * t).sum()
+
+        def loss_c(xx, gi=gi):
+            return (coo_fn(gi, aux_c).matvec(xx) * t).sum()
+
+        np.testing.assert_allclose(float(loss(x)), float(loss_c(x)), rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss)(x)), np.asarray(jax.grad(loss_c)(x)),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
+def test_multigraph_pallas2_gcn_normalized(two_graphs):
+    """The GCN-normalized weighted edges flow through the stacked plans."""
+    from gn_ode_sir_tpu.train import multigraph_adj_fns, multigraph_pallas2_fns
+
+    batch = pad_graphs(two_graphs, node_multiple=8, edge_multiple=16)
+    _, ev_fn, _, aux_p = multigraph_pallas2_fns(
+        batch, gcn_normalized=True, eval_graph=-1, k_edges=32, r_rows=8,
+        interpret=True)
+    coo_fn, _, aux_c = multigraph_adj_fns(batch, gcn_normalized=True, kind="coo")
+    aux_p = jax.tree_util.tree_map(jnp.asarray, aux_p)
+    aux_c = jax.tree_util.tree_map(jnp.asarray, aux_c)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, batch.n_max, 4)), jnp.float32)
+    gi = jnp.ones((2,), jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(ev_fn(gi, aux_p).matvec(x)),
+        np.asarray(coo_fn(gi, aux_c).matvec(x)), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas2_matvec_batch_fold(random_graph):
+    """The shared-plan batch fold (g samples -> one [n, g*h] kernel pass)
+    must be exact vs the per-sample path at every group size, including the
+    b % g != 0 zero-pad case."""
+    from gn_ode_sir_tpu.ops.pallas_spmm2 import Pallas2Adj
+
+    g = random_graph
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((5, g.n_nodes, 8)), jnp.float32)
+    adj = Pallas2Adj.from_graph(g, k_edges=32, r_rows=8)
+    ref = jnp.stack([adj.matvec(x[b][None])[0] for b in range(5)])
+    for budget in (1, 64 * 4 * 1024, 1 << 30):  # g=1 / small groups / all
+        adj2 = Pallas2Adj.from_graph(g, k_edges=32, r_rows=8)
+        object.__setattr__(adj2, "_OUT_VMEM_BUDGET", budget)
+        np.testing.assert_allclose(
+            np.asarray(adj2.matvec(x)), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_multigraph_fit_pallas2_end_to_end(two_graphs, tmp_path):
+    """fit(batch_by_graph=True, eval_adj_fn=...) over the stacked plans
+    trains and evaluates; loss decreases and matches the COO run's first
+    epoch (same seed, same homogeneous batches)."""
+    from gn_ode_sir_tpu.train import multigraph_adj_fns, multigraph_pallas2_fns
+
+    rng = np.random.default_rng(0)
+    per_graph = []
+    counts = [6, 8]
+    for g, c in zip(two_graphs, counts):
+        per_graph.append([
+            ([int(x) for x in rng.choice(g.n_nodes, 2, replace=False)],
+             float(rng.uniform(0.1, 0.5)), float(rng.uniform(0.1, 0.5)))
+            for _ in range(c)
+        ])
+    batch, data = assemble_multigraph_trials(
+        two_graphs, per_graph, sim=100, max_time=8,
+        label_dirs=[str(tmp_path / g.name) for g in two_graphs],
+    )
+    tr, va, te = multigraph_split(counts)
+    model = GNODE(hidden=8, max_time=8)
+    params = model.init(jax.random.PRNGKey(0))
+
+    tr_fn, ev_fn, mask_fn, aux_p = multigraph_pallas2_fns(
+        batch, eval_graph=-1, k_edges=32, r_rows=8, interpret=True)
+    res_p = fit(model, optax.adam(1e-2), params, data, tr, va, te, tr_fn,
+                adj_aux=aux_p, eval_adj_fn=ev_fn, batch_by_graph=True,
+                epochs=3, batch_size=4, node_mask_fn=mask_fn, verbose=False)
+    assert np.isfinite(res_p.test_loss)
+    assert res_p.history[-1][1] < res_p.history[0][1]
+
+    coo_fn, mask_c, aux_c = multigraph_adj_fns(batch, kind="coo")
+    res_c = fit(model, optax.adam(1e-2), params, data, tr, va, te, coo_fn,
+                adj_aux=aux_c, batch_by_graph=True,
+                epochs=3, batch_size=4, node_mask_fn=mask_c, verbose=False)
+    # identical batches + exact kernels -> near-identical training traces
+    np.testing.assert_allclose(res_p.history[-1][1], res_c.history[-1][1],
+                               rtol=1e-3)
+    np.testing.assert_allclose(res_p.test_loss, res_c.test_loss, rtol=1e-3)

@@ -226,3 +226,130 @@ def test_edge_sharded_spmm(random_graph, mesh):
     out = f(jnp.asarray(src_p), jnp.asarray(dst_p), jnp.asarray(w), x)
     ref = jax.vmap(lambda xb: spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), xb, g.n_nodes))(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_2d_multigraph_edge_sharded_equals_single_device():
+    """dp x edge mesh with PER-SAMPLE multigraph connectivity: every graph's
+    padded edge row shards over the edge axis while trials shard over data;
+    the full train step must equal the single-device masked/weighted step
+    (exercises the per-sample branch of the edge-sharded SpMM's custom VJP)."""
+    from gn_ode_sir_tpu.graphs import load_graph, pad_graphs
+    from gn_ode_sir_tpu.parallel import make_mesh, make_spmd_multigraph_train_step_2d
+    from gn_ode_sir_tpu.train import multigraph_adj_fns
+
+    graphs = [load_graph("none", n_random=n, seed=s) for n, s in ((12, 0), (20, 1), (16, 2))]
+    batch_g = pad_graphs(graphs, node_multiple=4, edge_multiple=16)
+    adj_fn, node_mask_fn, aux = multigraph_adj_fns(batch_g, kind="coo")
+    aux = jax.tree_util.tree_map(jnp.asarray, aux)
+    assert batch_g.e_max % 2 == 0
+
+    model = GNODE(hidden=8, max_time=8)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(params)
+    mesh2d = make_mesh((4, 2), ("data", "edge"))
+    step = make_spmd_multigraph_train_step_2d(
+        model, opt, mesh2d, batch_g.n_max, aux, node_mask_fn=node_mask_fn
+    )
+
+    B, n_max = 8, batch_g.n_max
+    rng = np.random.default_rng(11)
+    graph_idx = np.asarray([0, 1, 2, 1, 0, 2, 1, 0], np.int32)
+    i0 = np.zeros((B, n_max), np.float32)
+    for b, g_i in enumerate(graph_idx):
+        i0[b, rng.choice(int(batch_g.n_nodes[g_i]), 2, replace=False)] = 1
+    node_mask = np.asarray(batch_g.node_mask)[graph_idx]
+    weight = jnp.asarray(rng.uniform(0.2, 2.0, B), jnp.float32)
+    batch = {
+        "s0": jnp.asarray((1 - i0) * node_mask),
+        "i0": jnp.asarray(i0),
+        "r0": jnp.zeros((B, n_max)),
+        "beta": jnp.full((B,), 0.3),
+        "gamma": jnp.full((B,), 0.2),
+        "weight": weight,
+        "labels": jnp.asarray(rng.random((B, 8, n_max, 3)), jnp.float32),
+        "graph_idx": jnp.asarray(graph_idx),
+    }
+    p_2d, _, loss_2d = step(params, opt_state, batch, aux)
+
+    adj_full = adj_fn(batch["graph_idx"], aux)
+    nm_full = node_mask_fn(batch["graph_idx"], aux)
+
+    def loss_fn(p):
+        pred = model.predict(
+            p, adj_full, batch["s0"], batch["i0"], batch["r0"],
+            batch["beta"], batch["gamma"],
+        )
+        return l1_sir_loss(
+            pred, batch["labels"], trial_weight=batch["weight"], node_mask=nm_full
+        )
+
+    loss_ref, grads = jax.value_and_grad(loss_fn)(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_ref = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(loss_2d), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_2d), jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_spmd_multigraph_pallas2_stack_equals_single_device(mesh):
+    """The stacked-Pallas2 multigraph connectivity under data-parallel
+    sharding: the plan stacks replicate, each shard gathers its (graph-
+    homogeneous) batch's plan, and the step equals single-device."""
+    from gn_ode_sir_tpu.graphs import load_graph, pad_graphs
+    from gn_ode_sir_tpu.train import multigraph_pallas2_fns
+    from gn_ode_sir_tpu.train.loss import l1_sir_loss
+
+    graphs = [load_graph("none", n_random=n, seed=s) for n, s in ((12, 0), (20, 1))]
+    batch_g = pad_graphs(graphs, node_multiple=4, edge_multiple=16)
+    tr_fn, ev_fn, node_mask_fn, aux = multigraph_pallas2_fns(
+        batch_g, eval_graph=-1, k_edges=16, r_rows=8, interpret=True)
+    aux = jax.tree_util.tree_map(jnp.asarray, aux)
+
+    model = GNODE(hidden=8, max_time=8)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(params)
+    step = make_spmd_train_step(
+        model, opt, tr_fn, mesh, aux_example=aux, node_mask_fn=node_mask_fn
+    )
+
+    B, n_max = 8, batch_g.n_max
+    rng = np.random.default_rng(13)
+    graph_idx = np.zeros(B, np.int32)  # homogeneous batch (train graph 0)
+    i0 = np.zeros((B, n_max), np.float32)
+    for b in range(B):
+        i0[b, rng.choice(int(batch_g.n_nodes[0]), 2, replace=False)] = 1
+    node_mask = np.asarray(batch_g.node_mask)[graph_idx]
+    batch = {
+        "s0": jnp.asarray((1 - i0) * node_mask),
+        "i0": jnp.asarray(i0),
+        "r0": jnp.zeros((B, n_max)),
+        "beta": jnp.full((B,), 0.3),
+        "gamma": jnp.full((B,), 0.2),
+        "weight": jnp.asarray(rng.uniform(0.2, 2.0, B), jnp.float32),
+        "labels": jnp.asarray(rng.random((B, 8, n_max, 3)), jnp.float32),
+        "graph_idx": jnp.asarray(graph_idx),
+    }
+    p_spmd, _, loss_spmd = step(params, opt_state, batch, aux)
+
+    adj_full = tr_fn(batch["graph_idx"], aux)
+    nm_full = node_mask_fn(batch["graph_idx"], aux)
+
+    def loss_fn(p):
+        pred = model.predict(
+            p, adj_full, batch["s0"], batch["i0"], batch["r0"],
+            batch["beta"], batch["gamma"],
+        )
+        return l1_sir_loss(
+            pred, batch["labels"], trial_weight=batch["weight"], node_mask=nm_full
+        )
+
+    loss_ref, grads = jax.value_and_grad(loss_fn)(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_ref = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(loss_spmd), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_spmd), jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
