@@ -72,6 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="periodic Orbax checkpoint interval (epochs)")
     p.add_argument("--resume", action="store_true",
                    help="resume a crashed run from its periodic checkpoint")
+    p.add_argument("--auto_checkpoint", type=int, default=600,
+                   help="auto-enable periodic Orbax checkpoints (every ~5 "
+                        "wall-minutes) once the measured epoch time projects "
+                        "the run past this many seconds; 0 disables. The "
+                        "mitigation for mid-run TPU worker death.")
+    p.add_argument("--die_at_epoch", type=int, default=None,
+                   help="fault injection: exit the process (code 17) when "
+                        "training reaches this epoch — for crash/resume "
+                        "drills (SURVEY.md §5 failure detection)")
     p.add_argument("--log_every", type=int, default=1)
     # multi-graph ('+'-joined datasets, reference monitorer-ngraphs path)
     p.add_argument("--instances_per_graph", type=int, nargs="+", default=None,
@@ -196,6 +205,28 @@ def get_splits(args, n_trials: int):
     return d["train"], d["val"], test
 
 
+class _FaultInjection:
+    """Fault injection for crash/resume drills: kills the worker process
+    when training reaches a target epoch (after that epoch's metrics are
+    logged but mid-protocol — the resume path must recover best-val state
+    from the periodic Orbax checkpoint). Rides the ``metrics_logger`` seam
+    so the training loop needs no drill-specific hooks."""
+
+    def __init__(self, epoch: int):
+        self.epoch = epoch
+
+    def log(self, epoch, **kw):
+        if epoch >= self.epoch:
+            print(f"[fault-injection] dying at epoch {epoch}", flush=True)
+            raise SystemExit(17)
+
+
+def _fault_injector(args):
+    if getattr(args, "die_at_epoch", None) is None:
+        return None
+    return _FaultInjection(args.die_at_epoch)
+
+
 def run_trainable(args, g, data, splits):
     import jax
     import optax
@@ -267,11 +298,14 @@ def run_trainable(args, g, data, splits):
         eval_batch_size=args.eval_batch_size,
         verbose=True,
         log_every=args.log_every,
+        metrics_logger=_fault_injector(args),
         checkpoint_dir=(
             os.path.join(args.path_to_save, f"ckpt-trial{args.trial}-{args.model}")
-            if (args.checkpoint_every or args.resume) else None
+            if (args.checkpoint_every or args.resume or args.auto_checkpoint)
+            else None
         ),
         checkpoint_every=args.checkpoint_every,
+        checkpoint_auto_s=float(args.auto_checkpoint),
         resume=args.resume,
         # out-of-dist runs need the per-trial test-loss vector for the first
         # OOD CSV (ode_nn_ngraph_sim.py:483)
@@ -482,7 +516,43 @@ def run_multigraph(args):
         epochs=args.epochs, batch_size=args.batch_size, seed=args.init_seed,
         node_mask_fn=node_mask_fn, eval_batch_size=args.eval_batch_size,
         verbose=True, log_every=args.log_every,
+        metrics_logger=_fault_injector(args),
+        checkpoint_dir=(
+            os.path.join(args.path_to_save, f"ckpt-trial{args.trial}-{args.model}-mg")
+            if (args.checkpoint_every or args.resume or args.auto_checkpoint)
+            else None
+        ),
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_auto_s=float(args.auto_checkpoint),
+        resume=args.resume,
     )
+
+    # RK mean-field baseline on the UNSEEN graph's test trials: fills the
+    # loss_baseline/rk_time CSV columns the reference schema reserves for
+    # its (commented-out) per-worker RK harness (ode_nn_ngraphs.py:266-285)
+    loss_baseline, rk_time = 0.0, 0.0
+    if args.rk_baseline:
+        from gn_ode_sir_tpu.sim import sir_classical_batch
+
+        ev_g = graphs[-1]
+        t0 = time.time()
+        seed_sets = [np.nonzero(data.i0[i][: ev_g.n_nodes])[0] for i in te]
+        i_b, s_b, r_b = sir_classical_batch(
+            ev_g, seed_sets,
+            [float(data.beta[i]) for i in te],
+            [float(data.gamma[i]) for i in te],
+            delta_t=args.deltaT, max_time=args.maxTime,
+        )
+        preds = np.stack([s_b, i_b, r_b], -1)  # [B, T, n, 3]
+        losses = [
+            np.abs(preds[k] - data.labels[i][:, : ev_g.n_nodes]).mean()
+            for k, i in enumerate(te)
+        ]
+        rk_time = time.time() - t0
+        loss_baseline = float(np.mean(losses))
+        print(f"Runge-kutta baseline Loss (unseen {ev_g.name}): "
+              f"{loss_baseline:.5f}")
+        print(f"Time inference baseline: {rk_time:.5f}")
     cfg = ExperimentConfig(
         model=args.model, hidden=args.hidden, lr=args.lr, epochs=args.epochs,
         batch_size=args.batch_size, beta=list(args.beta), gamma=list(args.gamma),
@@ -491,7 +561,7 @@ def run_multigraph(args):
         train_val_test_ratio=list(args.train_val_test_ratio), trial=args.trial,
     )
     save_trial_to_csv(cfg, "+".join(names), res.best_epoch, res.best_val_loss,
-                      res.test_loss, 0.0, res.test_time, 0.0)
+                      res.test_loss, loss_baseline, res.test_time, rk_time)
     print(f"Test Loss (unseen graph {names[-1]}): {res.test_loss:.5f} "
           f"at epoch: {res.best_epoch:03d}")
     return 0

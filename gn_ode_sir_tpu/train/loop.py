@@ -174,6 +174,7 @@ def fit(
     profile_epochs: tuple = (2, 4),
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
+    checkpoint_auto_s: float = 0.0,
     resume: bool = False,
     track_test_per_trial: bool = False,
 ) -> FitResult:
@@ -301,6 +302,20 @@ def fit(
                 f"Epoch: {epoch:03d}, Train Loss: {train_loss:.10f}, "
                 f"Val Loss: {val_loss:.10f} ({epoch_times[-1]:.3f}s)"
             )
+        # auto cadence: once the first measured epochs project the run past
+        # ``checkpoint_auto_s`` seconds, checkpoint every ~5 wall-minutes —
+        # the mitigation for this environment's documented failure mode
+        # (mid-run TPU worker death, CLAUDE.md) without configuring runs
+        # that finish in seconds.
+        if (checkpoint_dir and checkpoint_auto_s and not checkpoint_every
+                and epoch == start_epoch + 2):
+            mean_s = float(np.mean(epoch_times[-3:]))
+            projected = mean_s * (epochs - start_epoch)
+            if projected > checkpoint_auto_s:
+                checkpoint_every = max(1, int(300.0 / mean_s))
+                if verbose:
+                    print(f"auto-checkpoint: projected {projected/60:.1f} min "
+                          f"run -> saving every {checkpoint_every} epochs")
         if checkpoint_dir and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
             _save(epoch)
 

@@ -191,3 +191,45 @@ def test_worker_spmm_pallas2(tmp_path):
     """GNODE end-to-end on the chunked Pallas backend (interpret on CPU)."""
     rc = worker.main(_base_argv(tmp_path, "ode_nn", extra=("--spmm", "pallas2")))
     assert rc == 0
+
+
+def test_worker_multigraph_rk_baseline(tmp_path):
+    """--rk_baseline on a multigraph run fills the loss_baseline/rk_time
+    CSV columns with the unseen graph's RK mean-field numbers (the columns
+    the reference schema reserves, ode_nn_ngraphs.py:266-285)."""
+    import pandas as pd
+
+    argv = [
+        "--dataset", "/root/reference/real_graphs/karate+dolphins",
+        "--model", "ode_nn", "--hidden", "8", "--epochs", "2", "--lr", "1e-3",
+        "--batch_size", "4", "--sim", "100", "--maxTime", "8",
+        "--instances_per_graph", "3", "4",
+        "--path_to_save", str(tmp_path), "--log_every", "10", "--seed", "3",
+        "--rk_baseline",
+    ]
+    assert worker.main(argv) == 0
+    df = pd.read_csv(tmp_path / "Metrics-trials-karate+dolphins")
+    row = df.iloc[-1]
+    assert row["loss_baseline"] > 0.0
+    assert row["rk_time"] > 0.0
+    assert np.isfinite(row["test_loss"])
+
+
+def test_worker_crash_resume_drill(tmp_path):
+    """Fault-injected crash mid-run + --resume completes the protocol from
+    the periodic checkpoint: the drill for the environment's documented
+    failure mode (mid-run TPU worker death)."""
+    argv = _base_argv(tmp_path, "ode_nn") + [
+        "--epochs", "6", "--checkpoint_every", "2",
+    ]
+    with pytest.raises(SystemExit) as exc:
+        worker.main(argv + ["--die_at_epoch", "3"])
+    assert exc.value.code == 17
+    # crashed run never wrote its CSV row
+    n_rows_before = 0
+    csv = tmp_path / "Metrics-trials-karate"
+    if csv.exists():
+        n_rows_before = len(csv.read_text().splitlines())
+    assert worker.main(argv + ["--resume"]) == 0
+    assert csv.exists()
+    assert len(csv.read_text().splitlines()) == n_rows_before + (2 if n_rows_before == 0 else 1)
