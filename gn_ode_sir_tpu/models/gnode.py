@@ -99,6 +99,8 @@ class GNODE:
     compute_dtype: str = "f32"  # 'bf16': ODE state + matmuls in bfloat16
     # (params/optimizer/decode stay f32 — the standard mixed-precision recipe)
     solver_unroll: int = 1  # lax.scan unroll factor for the time stepper
+    solver_budget: int = 0  # dopri5_adaptive global attempt budget
+    # (0 -> the solver default of 2*(T_grid-1) attempts)
 
     @property
     def ts(self) -> np.ndarray:
@@ -149,7 +151,10 @@ class GNODE:
         if self.method == "dopri5_adaptive":
             from gn_ode_sir_tpu.odeint import odeint_grid_adaptive
 
-            traj = odeint_grid_adaptive(func, (s, i, r), ts, (fparams, beta, gamma, adj))
+            traj = odeint_grid_adaptive(
+                func, (s, i, r), ts, (fparams, beta, gamma, adj),
+                total_steps=self.solver_budget or None,
+            )
         else:
             traj = odeint_grid(
                 func,

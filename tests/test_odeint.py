@@ -89,17 +89,25 @@ def test_adaptive_dopri5():
 
     y0 = jnp.asarray([1.0, 2.0])
     ts = jnp.linspace(0.0, 2.0, 11)
-    ys = odeint_grid_adaptive(field, y0, ts, 3.0, rtol=1e-6, atol=1e-8)
+    # generous global budget: this pins the adaptive machinery's ACCURACY
+    # (controller + Hermite dense output); the budget/cost trade lives in
+    # test_adaptive_budget_degrades_gracefully below
+    ys = odeint_grid_adaptive(field, y0, ts, 3.0, rtol=1e-6, atol=1e-8,
+                              total_steps=120)
     ts_fine = jnp.linspace(0.0, 2.0, 2001)
     ref = odeint_grid(field, y0, ts_fine, 3.0, method="rk4", adjoint="direct")[::200]
-    assert float(jnp.abs(ys - ref).max()) < 1e-5
+    # grid values come from 4th-order Hermite dense output of strided steps
+    # (not from stepping onto each grid point), so the output error is the
+    # interpolation's O(h^4), a few 1e-5 here — not the 5(4) step error
+    assert float(jnp.abs(ys - ref).max()) < 5e-5
     np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(y0))
-    # reverse-differentiable (bounded fori_loop, not while_loop)
-    g_a = jax.grad(lambda a: odeint_grid_adaptive(field, y0, ts, a).sum())(3.0)
+    # reverse-differentiable (bounded scan, not while_loop)
+    g_a = jax.grad(lambda a: odeint_grid_adaptive(
+        field, y0, ts, a, rtol=1e-6, atol=1e-8, total_steps=120).sum())(3.0)
     g_r = jax.grad(
         lambda a: odeint_grid(field, y0, ts_fine, a, method="rk4", adjoint="direct")[::200].sum()
     )(3.0)
-    np.testing.assert_allclose(float(g_a), float(g_r), rtol=1e-4)
+    np.testing.assert_allclose(float(g_a), float(g_r), rtol=1e-3)
 
 
 def test_gnode_adaptive_method(random_graph):
@@ -196,3 +204,25 @@ def test_classical_tail_chunk_padding(karate, monkeypatch):
     many = classical.sir_classical(karate, [3], 0.3, 0.2, max_time=20, substeps=2)
     for a, b in zip(one, many):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_adaptive_budget_degrades_gracefully():
+    """The GLOBAL attempt budget is the cost knob: the default 2*(T-1)
+    budget solves a smooth field to grid accuracy, and an absurdly small
+    budget still returns finite, monotone-time output (force-accept +
+    extrapolation fallbacks) instead of stalling or erroring."""
+    from gn_ode_sir_tpu.odeint import odeint_grid_adaptive
+
+    def field(t, y, a):
+        return jax.tree_util.tree_map(lambda v: -a * v, y)
+
+    y0 = jnp.asarray([1.0, 0.5])
+    ts = jnp.linspace(0.0, 4.0, 21)
+    ref = jnp.exp(-0.8 * ts)[:, None] * y0[None, :]
+    # default budget (2*(T-1) = 40 attempts)
+    ys = odeint_grid_adaptive(field, y0, ts, 0.8)
+    assert float(jnp.abs(ys - ref).max()) < 1e-4
+    # starved budget: finite everywhere, exact at t=0
+    ys_small = odeint_grid_adaptive(field, y0, ts, 0.8, total_steps=3)
+    assert np.isfinite(np.asarray(ys_small)).all()
+    np.testing.assert_allclose(np.asarray(ys_small[0]), np.asarray(y0))
