@@ -267,6 +267,42 @@ def measure_ours_train_epoch(graph, repeats: int = 3):
     return best
 
 
+def measure_spmm_apply(graph, hidden: int = 64, chain: int = 50, repeats: int = 3):
+    """Per-apply time of the large-graph SpMM backend (pallas2 on TPU): one
+    jitted program scanning ``chain`` chained applies so tunnel dispatch
+    noise cancels (same protocol as scripts/bench_spmm.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
+
+    adj = adjacency_from_graph(
+        graph, kind="ell" if jax.default_backend() == "cpu" else "pallas2"
+    )
+    x0 = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, graph.n_nodes, hidden)),
+        jnp.float32,
+    )
+
+    @jax.jit
+    def run(adj, x):
+        def body(y, _):
+            y = adj.matvec(y)
+            # renormalize so the chain neither explodes nor denormals
+            return y / (jnp.abs(y).max() + 1e-6), None
+
+        y, _ = jax.lax.scan(body, x, None, length=chain)
+        return y
+
+    float(np.asarray(run(adj, x0)).sum())  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(np.asarray(run(adj, x0)).sum())
+        best = min(best, time.perf_counter() - t0)
+    return best / chain
+
+
 def main():
     from gn_ode_sir_tpu.graphs import load_graph
 
@@ -312,6 +348,31 @@ def main():
     ref_epoch_s = baseline["train_epoch_s"]["wiki-vote"]["epoch_s"]
     vs_train = ref_epoch_s / epoch_s
 
+    spmm_s = measure_spmm_apply(wiki)
+
+    # absolute utilization vs the v5e roofline (modeled FLOPs/bytes from
+    # shapes; both bounds reported — see utils/roofline.py)
+    from gn_ode_sir_tpu.utils.roofline import (
+        gnode_train_epoch_model,
+        mc_sim_model,
+        spmm_apply_model,
+        utilization,
+    )
+
+    util_sim = utilization(
+        mc_sim_model(graph.n_nodes, SIMS, MAX_TIME), best_s
+    )
+    util_train = utilization(
+        gnode_train_epoch_model(
+            wiki.n_nodes, HIDDEN, BATCH, TRAIN_STEPS_PER_EPOCH,
+            int(MAX_TIME / DELTA_T),
+        ),
+        epoch_s,
+    )
+    util_spmm = utilization(
+        spmm_apply_model(wiki.n_nodes, len(wiki.src), HIDDEN), spmm_s
+    )
+
     details = {
         "headline": {
             "graph": "openflights",
@@ -320,6 +381,7 @@ def main():
             "best_wall_s": best_s,
             "sims_per_sec": sims_per_sec,
             "vs_baseline": vs,
+            "utilization": util_sim,
         },
         "gnode_train_epoch_wikivote": {
             "hidden": HIDDEN,
@@ -328,6 +390,13 @@ def main():
             "epoch_s": epoch_s,
             "reference_proxy_epoch_s": ref_epoch_s,
             "vs_baseline": vs_train,
+            "utilization": util_train,
+        },
+        "spmm_apply_wikivote": {
+            "hidden": HIDDEN,
+            "backend": "pallas2 (TPU) / ell (CPU)",
+            "per_apply_s": spmm_s,
+            "utilization": util_spmm,
         },
         "baseline_proxy": baseline,
     }
@@ -345,11 +414,22 @@ def main():
         "value": round(sims_per_sec, 1),
         "unit": "sims/s",
         "vs_baseline": round(vs, 2),
+        "mfu": round(util_sim["mfu"], 4),
+        "hbm_frac": round(util_sim["hbm_frac"], 4),
         "extra_metrics": [{
             "metric": "gnode_train_epoch_s_wikivote",
             "value": round(epoch_s, 4),
             "unit": "s/epoch",
             "vs_baseline": round(vs_train, 2),
+            "mfu": round(util_train["mfu"], 4),
+            "hbm_frac": round(util_train["hbm_frac"], 4),
+        }, {
+            "metric": "spmm_apply_ms_wikivote",
+            "value": round(spmm_s * 1e3, 4),
+            "unit": "ms/apply",
+            "vs_baseline": None,
+            "mfu": round(util_spmm["mfu"], 4),
+            "hbm_frac": round(util_spmm["hbm_frac"], 4),
         }],
     }))
 

@@ -98,3 +98,30 @@ def test_metrics_logger(tmp_path):
     rows = ml.read()
     assert len(rows) == 2 and rows[1]["loss"] == 1.2
     assert "wall_s" in rows[0]
+
+
+def test_roofline_models():
+    """Roofline models: dominant-term counts and utilization arithmetic."""
+    from gn_ode_sir_tpu.utils.roofline import (
+        V5E_PEAKS,
+        gnode_train_epoch_model,
+        mc_sim_model,
+        spmm_apply_model,
+        utilization,
+    )
+
+    m = mc_sim_model(n_nodes=2905, sims=10_000, max_time=20)
+    # 19 steps x 2 * 1e4 * 2905^2 int ops
+    assert abs(m["ops"] - 19 * 2 * 1e4 * 2905**2) < 1e6
+    u = utilization(m, wall_s=0.1)
+    assert 0 < u["mfu"] < 1 and u["achieved_tops"] > 0
+    assert u["peaks_for"] == V5E_PEAKS["name"]
+
+    t = gnode_train_epoch_model(7066, 64, 1, 120, 40)
+    # matvec dominates: 3x fwd of 40 evals x 2*n^2*h x 120 steps, within 10%
+    assert t["ops"] == pytest.approx(3 * 40 * 2 * 7066**2 * 64 * 120, rel=0.1)
+
+    s = spmm_apply_model(7066, 201_472, 64)
+    assert s["bytes"] > s["ops"]  # gather-bound: bytes dominate flops
+    u2 = utilization(s, wall_s=1.68e-3)
+    assert 0 < u2["hbm_frac"] < 1
