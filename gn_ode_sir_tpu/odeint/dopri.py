@@ -126,6 +126,20 @@ def odeint_grid_adaptive(
     single step at that many grid intervals (bounds extrapolation error in
     the dense output).
     """
+    # The embedded error estimate y5-y4 is ~1e-6-scale truncation error; at
+    # the TPU's default bf16 matmul precision the f-evals carry ~1e-2
+    # relative noise, which swamps the estimate — every step rejects, the
+    # budget starves, and the dense output extrapolates garbage (measured:
+    # forward diverged 1.0 from euler on TPU while agreeing 1e-3 on CPU).
+    # An adaptive controller REQUIRES trustworthy error estimates, so the
+    # whole solve traces at f32 matmul precision (3-pass bf16 on the MXU,
+    # ~3x matmul cost inside this solver only; no-op on CPU).
+    with jax.default_matmul_precision("float32"):
+        return _adaptive_impl(func, y0, ts, args, rtol, atol, total_steps,
+                              max_stride)
+
+
+def _adaptive_impl(func, y0, ts, args, rtol, atol, total_steps, max_stride):
     ts = jnp.asarray(ts, jnp.float32)
     T = ts.shape[0]
     if total_steps is None:
@@ -185,7 +199,11 @@ def odeint_grid_adaptive(
     i_j = jnp.where(covered, i_cov, last_acc)
 
     take = lambda tree: jax.tree_util.tree_map(lambda a: a[i_j], tree)
-    theta = (ts[1:] - steps["t"][i_j]) / steps["dt"][i_j]
+    # clamp extrapolation (uncovered tail points under a starved budget) so
+    # the cubic cannot blow up; covered points have theta in [0, 1)
+    theta = jnp.clip(
+        (ts[1:] - steps["t"][i_j]) / steps["dt"][i_j], 0.0, 2.0
+    )
     interp = _hermite(
         theta, steps["dt"][i_j],
         take(steps["y"]), take(steps["y_new"]),
