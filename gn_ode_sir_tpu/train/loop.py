@@ -245,6 +245,16 @@ def fit(
             best_val = float(st["best_val"])
             best_epoch = int(st["best_epoch"])
             test_loss = float(st["test_loss"])
+            # fast-forward the batch-shuffle rng so epoch k of a resumed
+            # run draws the SAME permutation as epoch k of an
+            # uninterrupted one — crash+resume then reproduces the
+            # original training trace (the per-epoch train rng_key is
+            # already epoch-indexed via fold_in)
+            for _ in range(start_epoch):
+                if batch_by_graph:
+                    epoch_batches_grouped(train_idx, data.graph_idx, batch_size, rng)
+                else:
+                    epoch_batches(len(train_idx), batch_size, rng)
             if verbose:
                 print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
 

@@ -177,3 +177,45 @@ def test_out_of_dist_split(karate_fixture_dir):
     d = out_of_dist_split(path)
     assert len(d["train"]) > 0 and len(d["val"]) > 0
     assert set(d["train"]).isdisjoint(set(d["val"]))
+
+
+def test_resume_reproduces_uninterrupted_trace(random_graph, tmp_path):
+    """Crash+resume must reproduce the UNINTERRUPTED run's training trace
+    and final losses exactly: restored opt state is exact and the batch-
+    shuffle rng fast-forwards to the resume epoch."""
+    from gn_ode_sir_tpu.sim import sir_classical
+
+    g = random_graph
+    rng = np.random.default_rng(2)
+    N, T = 10, 8
+    seed_sets, betas, gammas, triples = [], [], [], []
+    for _ in range(N):
+        seeds = rng.choice(g.n_nodes, 2, replace=False)
+        b, gm = rng.uniform(0.1, 0.5), rng.uniform(0.1, 0.5)
+        i_t, s_t, r_t = sir_classical(g, seeds, b, gm, max_time=T)
+        seed_sets.append(list(seeds)); betas.append(b); gammas.append(gm)
+        triples.append((s_t, i_t, r_t))
+    data = build_trial_data(g.n_nodes, seed_sets, betas, gammas, triples)
+    tr, va, te = split_indices(N, (0.6, 0.2, 0.2))
+    model = GNODE(hidden=8, max_time=T)
+    adj = adjacency_from_graph(g)
+    opt = optax.adam(1e-2)
+    params = model.init(jax.random.PRNGKey(0))
+
+    full = fit(model, opt, params, data, tr, va, te, lambda gi: adj,
+               epochs=8, batch_size=4, verbose=False)
+
+    ckpt = str(tmp_path / "ck")
+    fit(model, opt, params, data, tr, va, te, lambda gi: adj,
+        epochs=4, batch_size=4, verbose=False,
+        checkpoint_dir=ckpt, checkpoint_every=2)
+    resumed = fit(model, opt, params, data, tr, va, te, lambda gi: adj,
+                  epochs=8, batch_size=4, verbose=False,
+                  checkpoint_dir=ckpt, resume=True)
+
+    # epochs 4..7 of the resumed run equal the uninterrupted run's
+    np.testing.assert_allclose(
+        [h[1] for h in resumed.history], [h[1] for h in full.history[4:]],
+        rtol=1e-6)
+    np.testing.assert_allclose(resumed.test_loss, full.test_loss, rtol=1e-6)
+    assert resumed.best_epoch == full.best_epoch
