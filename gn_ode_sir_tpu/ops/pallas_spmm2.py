@@ -126,6 +126,21 @@ def _spmm2_call(row_base, dst_local, msgs, *, n_nodes, k_edges, r_rows, interpre
     C = dst_local.shape[0]
     h = msgs.shape[1]
     n_pad = ((n_nodes + r_rows - 1) // r_rows) * r_rows + r_rows
+    # Scoped-VMEM budget from the actual buffer sizes: the [n_pad, h] f32
+    # output lives whole in VMEM (sequential race-free accumulation), and
+    # Mosaic's stack accounting lands near 2x the output block (measured:
+    # enron h=64 out 8.68 MB -> 16.56 MB scoped need, over the compiler's
+    # 16 MB DEFAULT — not a hardware limit; v5e has 128 MiB VMEM). Request
+    # 2.2x output + margin for double-buffered input blocks.
+    msg_bytes = jnp.dtype(msgs.dtype).itemsize
+    vmem_limit = int(
+        2.2 * n_pad * h * 4
+        + 4 * k_edges * h * msg_bytes
+        + 4 * 8 * k_edges * 4
+        + 2 * r_rows * k_edges * 4
+        + (4 << 20)
+    )
+    vmem_limit = min(max(vmem_limit, 16 << 20), 120 << 20)
     out = pl.pallas_call(
         functools.partial(_kernel, r_rows=r_rows),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -141,6 +156,7 @@ def _spmm2_call(row_base, dst_local, msgs, *, n_nodes, k_edges, r_rows, interpre
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, h), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(row_base, dst_local, msgs)
     return out[:n_nodes]
