@@ -181,9 +181,13 @@ def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False) -> int:
 def ngraphs_config() -> MatrixConfig:
     """Multi-graph matrix defaults (``monitorer-ngraphs.py:8-23``).
 
-    Deviation note: the reference names ``epinions`` but ships no
-    ``epinions.pkl`` (SURVEY.md §7 "reference bugs") — the default here ends
-    at wiki-vote; pass the full '+' string explicitly if the pickle exists.
+    Deviation note: the reference names ``epinions`` as the unseen eval
+    graph but ships no ``epinions.pkl`` (SURVEY.md §7 "reference bugs");
+    ENRON — the largest shipped graph, which the reference's multigraph
+    scripts already plumb label paths for (``gnn_ngraphs.py:238-239``) —
+    stands in as the unseen graph (D4). Train graphs match the reference
+    exactly; the stacked-Pallas2 backend handles the 33,696-node padding
+    (``train/multigraph.py``).
     """
     return MatrixConfig(
         epochs=500,
@@ -191,7 +195,7 @@ def ngraphs_config() -> MatrixConfig:
         batch_size=8,
         hidden_dim_array=(8, 8, 8, 8),
         datasets_array=(
-            "./real_graphs/dolphins+fb-food+fb-social+openflights+wiki-vote",
+            "./real_graphs/dolphins+fb-food+fb-social+openflights+wiki-vote+enron",
         ),
         model="ode_nn",
     )
