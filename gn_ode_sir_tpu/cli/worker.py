@@ -101,8 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sim_matmul", default="auto", choices=["auto", "bf16", "int8"],
                    help="MC neighbor-count matmul dtype (int8 MXU is exact "
                         "and the fast TPU path; auto = int8 on TPU)")
-    p.add_argument("--coins", default="bits16", choices=["bits16", "bits32", "uniform", "pallas"],
-                   help="MC simulator coin generation mode")
+    p.add_argument("--coins", default="auto",
+                   choices=["auto", "bits16", "rbg16", "bits32", "uniform",
+                            "pallas"],
+                   help="MC simulator coin generation mode (auto = rbg16 on "
+                        "TPU, bits16 elsewhere)")
     p.add_argument("--sims_chunk", type=int, default=None,
                    help="MC simulator chunk size (HBM control for huge graphs)")
     p.add_argument("--config", default=None,

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from gn_ode_sir_tpu.sim.mc_sir import _simulate_chunk
+from gn_ode_sir_tpu.sim.mc_sir import _expand_ir_sums, _simulate_chunk
 
 
 def simulate_sir_sharded(
@@ -48,10 +48,10 @@ def simulate_sir_sharded(
     def local(a_, seeds_, key_):
         dev = jax.lax.axis_index(axis)
         k = jax.random.fold_in(key_, dev)
-        counts = _simulate_chunk(
+        ir = _simulate_chunk(  # [T, 2, n] (I, R) sums; S sums are implied
             a_, seeds_, float(beta), float(gamma), k, sims=sims_local, max_time=max_time
         )
-        return jax.lax.psum(counts, axis)
+        return jax.lax.psum(ir, axis)
 
     fn = jax.shard_map(
         local,
@@ -60,6 +60,6 @@ def simulate_sir_sharded(
         out_specs=P(),
         check_vma=False,
     )
-    counts = fn(a, seeds_mask, key)
+    counts = _expand_ir_sums(fn(a, seeds_mask, key), total)
     probs = np.asarray(counts, dtype=np.float64) / float(total)
     return probs[:, 0, :], probs[:, 1, :], probs[:, 2, :]

@@ -44,7 +44,7 @@ class ExperimentConfig:
     instances_per_graph: Sequence[int] | None = None  # multi-graph trial counts
     # performance knobs
     spmm: str = "auto"  # GN-ODE message-passing backend: auto|dense|coo|ell
-    coins: str = "bits16"  # MC simulator coin mode: bits16|bits32|uniform|pallas
+    coins: str = "auto"  # MC coin mode: auto|bits16|rbg16|bits32|uniform|pallas
     sim_matmul: str = "auto"  # MC neighbor-count matmul dtype: auto|bf16|int8
     gnode_dtype: str = "f32"  # GN-ODE compute dtype: f32|bf16 (mixed precision)
     solver_unroll: int = 0  # time-scan unroll (0 = auto from solver_policy)

@@ -80,7 +80,7 @@ def load_or_extract_labels(
     save_dir: str | None = None,
     key=None,
     sims_chunk: int | None = None,
-    coins: str = "bits16",
+    coins: str = "auto",
     matmul: str = "auto",
 ):
     """Cache-or-simulate, mirroring ``load_SIR_labels`` in every driver."""

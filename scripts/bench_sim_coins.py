@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--modes", nargs="+",
                     default=["bits16", "bits32", "uniform", "pallas"])
     ap.add_argument("--out", default=None)
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
     print("device:", jax.devices()[0])
@@ -45,7 +46,7 @@ def main():
                                key=jax.random.PRNGKey(0), coins=mode)
             compile_s = time.perf_counter() - t0
             best = float("inf")
-            for r in range(3):
+            for r in range(args.repeats):
                 t0 = time.perf_counter()
                 out = simulate_sir(g, [0, 5], 0.3, 0.2, sims=args.sims,
                                    key=jax.random.PRNGKey(r + 1), coins=mode)

@@ -162,6 +162,35 @@ def test_per_sim_matches_counts(karate):
     np.testing.assert_array_equal(r.sum(0), sums[:, 2])
 
 
+def test_rbg16_coins_deterministic_and_unbiased(karate):
+    """The rbg16 coin mode (XLA RngBitGenerator, the TPU 'auto' pick) must be
+    (a) deterministic per key and (b) statistically interchangeable with the
+    threefry bits16 stream — same process, different unbiased generator."""
+    k = jax.random.PRNGKey(7)
+    a = simulate_sir(karate, [0, 5], 0.3, 0.2, sims=4000, key=k, coins="rbg16")
+    b = simulate_sir(karate, [0, 5], 0.3, 0.2, sims=4000, key=k, coins="rbg16")
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    c = simulate_sir(karate, [0, 5], 0.3, 0.2, sims=4000, key=k, coins="bits16")
+    # two independent 4k-sim estimates of the same process: MC-noise close
+    assert np.abs(np.stack(a) - np.stack(c)).mean() < 0.02
+
+
+def test_counts_s_channel_implied_exactly(karate):
+    """simulate_sir_counts returns [T, 3, n] f32 with S + I + R == sims at
+    every (t, node) — the S row is reconstructed from the partition identity,
+    not reduced on device."""
+    from gn_ode_sir_tpu.sim import simulate_sir_counts
+
+    sums = np.asarray(simulate_sir_counts(
+        karate, [0], 0.3, 0.2, sims=700, max_time=10,
+        key=jax.random.PRNGKey(9)))
+    assert sums.shape == (10, 3, karate.n_nodes)
+    assert sums.dtype == np.float32
+    np.testing.assert_array_equal(sums.sum(1), np.full_like(sums[:, 0], 700.0))
+    assert np.all(sums >= 0)
+
+
 def test_int8_matmul_mode_bit_identical(karate):
     """The int8 MXU counts path (s8 x s8 -> s32) must produce BIT-IDENTICAL
     labels to the bf16 path: indicator x {0,1}-adjacency products and their
