@@ -134,7 +134,7 @@ def load_experiment(args):
 
     from gn_ode_sir_tpu.graphs import load_graph
     from gn_ode_sir_tpu.train import build_trial_data
-    from gn_ode_sir_tpu.utils import load_or_extract_labels
+    from gn_ode_sir_tpu.utils import load_or_extract_labels_many
 
     g = load_graph(args.dataset)
     i_indices = parse_i_indices(args.I_indices)
@@ -156,23 +156,20 @@ def load_experiment(args):
         with open(os.path.join(args.path_to_save, "initial-gamma.pkl"), "wb") as f:
             pickle.dump(list(args.gamma), f)
 
-    triples = []
-    for k, seeds in enumerate(i_indices):
-        triples.append(
-            load_or_extract_labels(
-                g,
-                seeds,
-                args.beta[k],
-                args.gamma[k],
-                sim=args.sim,
-                max_time=args.maxTime,
-                save_dir=args.path_to_save,
-                key=jax.random.PRNGKey(1000 + k),
-                sims_chunk=args.sims_chunk,
-                coins=args.coins,
-                matmul=args.sim_matmul,
-            )
-        )
+    # cache misses are simulated BATCHED (vmapped trials, one dispatch per
+    # chunk) — the sequential loop pays the dispatch/tunnel floor per trial
+    triples = load_or_extract_labels_many(
+        g,
+        [(seeds, args.beta[k], args.gamma[k])
+         for k, seeds in enumerate(i_indices)],
+        sim=args.sim,
+        max_time=args.maxTime,
+        save_dir=args.path_to_save,
+        keys=[jax.random.PRNGKey(1000 + k) for k in range(len(i_indices))],
+        sims_chunk=args.sims_chunk,
+        coins=args.coins,
+        matmul=args.sim_matmul,
+    )
     data = build_trial_data(g.n_nodes, i_indices, args.beta, args.gamma, triples)
     return g, i_indices, data
 

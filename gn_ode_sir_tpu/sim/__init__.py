@@ -10,6 +10,8 @@ sims x T loop of tiny kernels, no per-step host sync.
 from gn_ode_sir_tpu.sim.mc_sir import (
     simulate_sir,
     simulate_sir_counts,
+    simulate_sir_counts_many,
+    simulate_sir_many,
     simulate_sir_per_sim,
 )
 from gn_ode_sir_tpu.sim.classical import sir_classical, sir_classical_batch, sir_field
@@ -17,6 +19,8 @@ from gn_ode_sir_tpu.sim.classical import sir_classical, sir_classical_batch, sir
 __all__ = [
     "simulate_sir",
     "simulate_sir_counts",
+    "simulate_sir_counts_many",
+    "simulate_sir_many",
     "simulate_sir_per_sim",
     "sir_classical",
     "sir_field",

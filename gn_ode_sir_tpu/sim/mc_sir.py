@@ -151,6 +151,29 @@ def _init_state(seeds_mask, sims, dtype=jnp.float32):
     return i0, jnp.zeros((sims, n), dtype)
 
 
+def _scan_trial(a_mm, seeds_mask, beta, gamma, key, *, sims: int,
+                max_time: int, coins: str, state_i8: bool):
+    """One trial's scan body: ``sims`` trajectories -> (I, R) SUMS [T, 2, n]
+    f32. Shared by the single-trial jit and the vmapped multi-trial jit;
+    ``beta``/``gamma`` may be python floats or traced scalars (vmap)."""
+    i0, r0 = _init_state(
+        seeds_mask, sims, jnp.int8 if state_i8 else jnp.float32
+    )
+    log1m_beta = jnp.log1p(-jnp.float32(beta))
+    gamma = jnp.float32(gamma)
+
+    def ssum(x):  # f32 accumulator is exact for indicator counts < 2^24
+        return x.sum(0, dtype=jnp.float32)
+
+    def step(carry, t):
+        i, r = _sir_transition(*carry, a_mm, log1m_beta, gamma, key, t, coins)
+        return (i, r), jnp.stack([ssum(i), ssum(r)])
+
+    _, sums = jax.lax.scan(step, (i0, r0), jnp.arange(1, max_time))
+    sums0 = jnp.stack([ssum(i0), ssum(r0)])[None]
+    return jnp.concatenate([sums0, sums], axis=0)  # [T, 2, n]
+
+
 @partial(jax.jit,
          static_argnames=("sims", "max_time", "coins", "state_i8", "out_u16"))
 def _simulate_chunk(a_mm, seeds_mask, beta, gamma, key, *, sims: int,
@@ -163,27 +186,39 @@ def _simulate_chunk(a_mm, seeds_mask, beta, gamma, key, *, sims: int,
 
     Sums of 0/1 indicators are integers, exact in f32 up to 2^24.
     ``state_i8`` carries the indicators as int8 (quarter of the f32 HBM
-    traffic per step; bit-identical output — measured +29% sims/s on
-    wiki-vote, slower below ~4k nodes where conversions dominate).
+    traffic per step; bit-identical output — measured +47% sims/s at
+    openflights, +35% at wiki-vote after the I/R-carry drop).
     ``out_u16`` emits the sums as uint16 (exact for sims < 65536) to halve
     the host-readback bytes through the tunnel.
     """
-    i0, r0 = _init_state(
-        seeds_mask, sims, jnp.int8 if state_i8 else jnp.float32
-    )
-    log1m_beta = jnp.log1p(-beta)
-    gamma = jnp.float32(gamma)
+    out = _scan_trial(a_mm, seeds_mask, beta, gamma, key, sims=sims,
+                      max_time=max_time, coins=coins, state_i8=state_i8)
+    return out.astype(jnp.uint16) if out_u16 else out
 
-    def ssum(x):  # f32 accumulator is exact for indicator counts < 2^24
-        return x.sum(0, dtype=jnp.float32)
 
-    def step(carry, t):
-        i, r = _sir_transition(*carry, a_mm, log1m_beta, gamma, key, t, coins)
-        return (i, r), jnp.stack([ssum(i), ssum(r)])
+@partial(jax.jit,
+         static_argnames=("sims", "max_time", "coins", "state_i8", "out_u16"))
+def _simulate_chunk_trials(a_mm, seeds_masks, betas, gammas, keys, *,
+                           sims: int, max_time: int, coins: str = "bits16",
+                           state_i8: bool = False, out_u16: bool = False):
+    """B trials in ONE device program -> (I, R) SUMS [B, T, 2, n].
 
-    _, sums = jax.lax.scan(step, (i0, r0), jnp.arange(1, max_time))
-    sums0 = jnp.stack([ssum(i0), ssum(r0)])[None]
-    out = jnp.concatenate([sums0, sums], axis=0)  # [T, 2, n]
+    The per-trial scan is vmapped over (seeds mask, beta, gamma, key) with
+    the adjacency shared, so every step's neighbor-count matmuls batch into
+    a single [B*sims, n] @ [n, n] MXU dot and ONE dispatch (+ one tunnel
+    round-trip) serves the whole batch — label extraction for a trial matrix
+    is tunnel-floor-bound per trial otherwise. With threefry coins
+    (``bits16``) each trial's stream is bit-identical to the single-trial
+    path under the same key (threefry vmaps exactly); ``rbg16`` streams are
+    distinct but not reproductions of the unbatched stream (XLA's
+    RngBitGenerator has no exact batching rule) — both are valid MC draws.
+    """
+    out = jax.vmap(
+        lambda m, b, g, k: _scan_trial(
+            a_mm, m, b, g, k, sims=sims, max_time=max_time, coins=coins,
+            state_i8=state_i8,
+        )
+    )(seeds_masks, betas, gammas, keys)
     return out.astype(jnp.uint16) if out_u16 else out
 
 
@@ -240,10 +275,12 @@ def simulate_sir_counts(
         # 2,229 bf16; openflights +6%; wiki-vote within tunnel noise);
         # CPU XLA lowers int8 dots poorly, so stay bf16 off-TPU
         matmul = "bf16" if jax.default_backend() == "cpu" else "int8"
-    # int8 STATE carry compounds the win at scale (wiki-vote +29%, bit-
-    # identical) but loses below ~4k nodes where conversions dominate; the
-    # pallas coin kernel consumes f32 states
-    state_i8 = matmul == "int8" and graph.n_nodes >= 4096 and coins != "pallas"
+    # int8 STATE carry (bit-identical output): after the I/R-carry drop the
+    # round-2 "slower below ~4k nodes" result inverted — openflights (2.9k n)
+    # measures +47% and wiki-vote +35% with it on (runs_r3/state_i8_ab.json)
+    # — so it is now unconditional on the int8 matmul path; the pallas coin
+    # kernel still consumes f32 states
+    state_i8 = matmul == "int8" and coins != "pallas"
     a = _device_adjacency(graph, jnp.int8 if matmul == "int8" else jnp.bfloat16)
     seeds_mask = np.zeros(graph.n_nodes, np.float32)
     seeds_mask[np.asarray(seed_nodes)] = 1.0
@@ -277,6 +314,125 @@ def simulate_sir_counts(
         done += c
         chunk_id += 1
     return _expand_ir_sums(total, sims)
+
+
+def _auto_trials_chunk(n: int, sims: int, state_i8: bool) -> int:
+    """Trials per batched dispatch, bounded by a conservative HBM budget.
+
+    Per-trial working set ≈ [sims, n] x (I + R states, counts s32, coin
+    words u32) plus fusion headroom; budget 4 GB leaves room for the dense
+    adjacency and XLA scratch on a 16 GB v5e.
+    """
+    state_bytes = 1 if state_i8 else 4
+    per_trial = sims * n * (2 * state_bytes + 4 + 4)
+    return max(1, min(32, int(4e9 / max(per_trial, 1))))
+
+
+def simulate_sir_counts_many(
+    graph: Graph,
+    trials,
+    *,
+    sims: int = 10000,
+    max_time: int = 20,
+    keys=None,
+    trials_chunk: int | None = None,
+    coins: str = "auto",
+    matmul: str = "auto",
+):
+    """Indicator-count sums for MANY trials of one graph: returns a list of
+    [max_time, 3, n] f32 arrays, one per ``(seed_nodes, beta, gamma)`` in
+    ``trials``.
+
+    TPU-first replacement for the reference's per-trial extraction loop
+    (``ode_nn_ngraph_sim.py:190-206`` calls ``sir_torch`` once per trial):
+    trials are batched ``trials_chunk`` at a time into one vmapped device
+    program (one [B*sims, n] MXU matmul per step, one dispatch), amortizing
+    the per-call dispatch/tunnel floor across the batch. ``trials_chunk``
+    defaults to an HBM-derived size; the last chunk is padded to the full
+    size with repeated trials so ONE compiled shape serves every dispatch.
+
+    ``keys``: optional per-trial PRNG keys (defaults to fold_in(key0, idx)).
+    With ``coins='bits16'`` each trial is bit-identical to the single-trial
+    :func:`simulate_sir_counts` under the same key.
+    """
+    coins = _resolve_coins(coins)
+    if matmul == "auto":
+        matmul = "bf16" if jax.default_backend() == "cpu" else "int8"
+    if coins == "pallas":
+        raise ValueError("the pallas coin kernel has no batched-trials path")
+    state_i8 = matmul == "int8"
+    n = graph.n_nodes
+    ntr = len(trials)
+    if keys is None:
+        k0 = jax.random.PRNGKey(0)
+        keys = [jax.random.fold_in(k0, 1000 + j) for j in range(ntr)]
+    if trials_chunk is None:
+        # balance chunks so padding waste is bounded by n_chunks-1 trials
+        # TOTAL (naive ceil-chunking can pad a near-empty final chunk: 16
+        # trials at cap 13 would simulate 26 — measured 35% slower than the
+        # balanced 2x8 split, runs_r3/batch_variants_openflights.json)
+        cap = _auto_trials_chunk(n, sims, state_i8)
+        n_chunks = -(-ntr // cap)
+        trials_chunk = -(-ntr // n_chunks)
+    if trials_chunk <= 1 or ntr == 1:
+        return [
+            simulate_sir_counts(
+                graph, sn, b, g, sims=sims, max_time=max_time, key=keys[j],
+                coins=coins, matmul=matmul,
+            )
+            for j, (sn, b, g) in enumerate(trials)
+        ]
+
+    a = _device_adjacency(graph, jnp.int8 if matmul == "int8" else jnp.bfloat16)
+    masks = np.zeros((ntr, n), np.float32)
+    betas = np.empty(ntr, np.float32)
+    gammas = np.empty(ntr, np.float32)
+    for j, (seed_nodes, beta, gamma) in enumerate(trials):
+        masks[j, np.asarray(seed_nodes)] = 1.0
+        betas[j], gammas[j] = beta, gamma
+    keys_arr = jnp.stack([jnp.asarray(k) for k in keys])
+
+    out: list[np.ndarray] = []
+    B = trials_chunk
+    for lo in range(0, ntr, B):
+        idx = list(range(lo, min(lo + B, ntr)))
+        pad = idx + [idx[-1]] * (B - len(idx))  # fixed shape, surplus dropped
+        ir = _simulate_chunk_trials(
+            a, jnp.asarray(masks[pad]), jnp.asarray(betas[pad]),
+            jnp.asarray(gammas[pad]), keys_arr[jnp.asarray(pad)],
+            sims=sims, max_time=max_time, coins=coins, state_i8=state_i8,
+            out_u16=sims < 65536,
+        )
+        ir_host = np.asarray(ir, dtype=np.float32)[: len(idx)]
+        for row in ir_host:
+            s = np.float32(sims) - row[:, 0] - row[:, 1]
+            out.append(np.stack([s, row[:, 0], row[:, 1]], axis=1))
+    return out
+
+
+def simulate_sir_many(
+    graph: Graph,
+    trials,
+    *,
+    sims: int = 10000,
+    max_time: int = 20,
+    keys=None,
+    trials_chunk: int | None = None,
+    coins: str = "auto",
+    matmul: str = "auto",
+):
+    """Batched label triples: list of per-node (S, I, R) probability arrays
+    (each [max_time, n]), one per trial. See :func:`simulate_sir_counts_many`.
+    """
+    sums = simulate_sir_counts_many(
+        graph, trials, sims=sims, max_time=max_time, keys=keys,
+        trials_chunk=trials_chunk, coins=coins, matmul=matmul,
+    )
+    out = []
+    for arr in sums:
+        probs = np.asarray(arr, dtype=np.float64) / float(sims)
+        out.append((probs[:, 0, :], probs[:, 1, :], probs[:, 2, :]))
+    return out
 
 
 def simulate_sir_per_sim(

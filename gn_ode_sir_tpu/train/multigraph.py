@@ -253,7 +253,7 @@ def assemble_multigraph_trials(
     """
     import jax
 
-    from gn_ode_sir_tpu.utils import load_or_extract_labels
+    from gn_ode_sir_tpu.utils import load_or_extract_labels_many
 
     batch = pad_graphs(graphs, node_multiple, edge_multiple)
     if rng_key is None:
@@ -262,14 +262,16 @@ def assemble_multigraph_trials(
     seed_sets, betas, gammas, triples, graph_idx = [], [], [], [], []
     for g_i, (graph, params) in enumerate(zip(graphs, per_graph_params)):
         save_dir = label_dirs[g_i] if label_dirs else None
-        for t_i, (seeds, beta, gamma) in enumerate(params):
-            triples.append(
-                load_or_extract_labels(
-                    graph, seeds, beta, gamma, sim=sim, max_time=max_time,
-                    save_dir=save_dir,
-                    key=jax.random.fold_in(rng_key, g_i * 100003 + t_i),
-                )
+        # cache misses batch into vmapped multi-trial device programs
+        triples.extend(
+            load_or_extract_labels_many(
+                graph, list(params), sim=sim, max_time=max_time,
+                save_dir=save_dir,
+                keys=[jax.random.fold_in(rng_key, g_i * 100003 + t_i)
+                      for t_i in range(len(params))],
             )
+        )
+        for seeds, beta, gamma in params:
             seed_sets.append(seeds)
             betas.append(beta)
             gammas.append(gamma)

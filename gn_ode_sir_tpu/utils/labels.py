@@ -104,11 +104,77 @@ def load_or_extract_labels(
         matmul=matmul,
     )
     if save_dir is not None:
-        os.makedirs(save_dir, exist_ok=True)
-        # write under the exact (seeds, beta, gamma) key: the seeds-only
-        # reference name collides across trials sharing a seed set
-        paths = label_paths(save_dir, graph.name, seed_nodes, beta, gamma)
-        for c, arr in zip(("S", "I", "R"), (s, i, r)):
-            with open(paths[c], "wb") as f:
-                pickle.dump(arr, f)
+        _write_labels(save_dir, graph.name, seed_nodes, beta, gamma, (s, i, r))
     return s, i, r
+
+
+def _write_labels(save_dir, graph_name, seed_nodes, beta, gamma, triple):
+    os.makedirs(save_dir, exist_ok=True)
+    # write under the exact (seeds, beta, gamma) key: the seeds-only
+    # reference name collides across trials sharing a seed set
+    paths = label_paths(save_dir, graph_name, seed_nodes, beta, gamma)
+    for c, arr in zip(("S", "I", "R"), triple):
+        with open(paths[c], "wb") as f:
+            pickle.dump(arr, f)
+
+
+def load_or_extract_labels_many(
+    graph,
+    trials,
+    *,
+    sim: int = 10000,
+    max_time: int = 20,
+    save_dir: str | None = None,
+    keys=None,
+    sims_chunk: int | None = None,
+    coins: str = "auto",
+    matmul: str = "auto",
+):
+    """Batched cache-or-simulate over a trial list [(seeds, beta, gamma)].
+
+    Cache hits load from disk; ALL misses are simulated together through
+    :func:`gn_ode_sir_tpu.sim.simulate_sir_many` (one vmapped device program
+    per ``trials_chunk`` trials — the per-trial dispatch/tunnel floor is paid
+    once per chunk instead of once per trial). ``keys`` gives one PRNG key
+    per trial (aligned with ``trials``) so cache misses draw the same streams
+    the sequential path would.
+    """
+    triples: list = [None] * len(trials)
+    missing: list[int] = []
+    for j, (seeds, beta, gamma) in enumerate(trials):
+        cached = (
+            load_labels(save_dir, graph.name, seeds, sim, beta, gamma)
+            if save_dir is not None else None
+        )
+        if cached is not None:
+            triples[j] = cached
+        else:
+            missing.append(j)
+    if missing:
+        if sims_chunk is not None:
+            # huge-graph regime: per-trial sims chunking, no trial batching
+            from gn_ode_sir_tpu.sim import simulate_sir
+
+            fresh = [
+                simulate_sir(
+                    graph, *trials[j][:3], sims=sim, max_time=max_time,
+                    key=None if keys is None else keys[j],
+                    sims_chunk=sims_chunk, coins=coins, matmul=matmul,
+                )
+                for j in missing
+            ]
+        else:
+            from gn_ode_sir_tpu.sim import simulate_sir_many
+
+            fresh = simulate_sir_many(
+                graph, [trials[j] for j in missing], sims=sim,
+                max_time=max_time,
+                keys=None if keys is None else [keys[j] for j in missing],
+                coins=coins, matmul=matmul,
+            )
+        for j, triple in zip(missing, fresh):
+            triples[j] = triple
+            if save_dir is not None:
+                seeds, beta, gamma = trials[j]
+                _write_labels(save_dir, graph.name, seeds, beta, gamma, triple)
+    return triples

@@ -32,8 +32,9 @@ def mc_sim_model(n_nodes: int, sims: int, max_time: int,
     Dominant compute: the per-step neighbor-count matmul
     ``I[sims, n] @ A[n, n]`` in s8 x s8 -> s32 — 2*sims*n^2 ops per step,
     (T-1) steps. Dominant traffic per step: the adjacency read (n^2 int8)
-    plus ~6 [sims, n] state/coin/indicator streams (int8 carry at >=4k
-    nodes; ``state_bytes=4`` models the small-graph f32 carry).
+    plus ~6 [sims, n] state/coin/indicator streams (the int8 state carry is
+    unconditional on the TPU int8-matmul path since round 3;
+    ``state_bytes=4`` models the f32 carry used by the pallas coin kernel).
     """
     steps = max_time - 1
     ops = 2.0 * sims * n_nodes * n_nodes * steps

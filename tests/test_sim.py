@@ -191,6 +191,59 @@ def test_counts_s_channel_implied_exactly(karate):
     assert np.all(sums >= 0)
 
 
+def test_batched_trials_bit_identical_to_sequential(karate):
+    """The vmapped multi-trial program must reproduce the single-trial
+    results BIT-IDENTICALLY per trial under threefry coins (same per-trial
+    key -> same stream; the batched matmul stays exact integer counts),
+    including across the padded final chunk."""
+    from gn_ode_sir_tpu.sim import simulate_sir_counts, simulate_sir_counts_many
+
+    trials = [([0, 5], 0.3, 0.2), ([3], 0.45, 0.1), ([7, 9, 11], 0.2, 0.3)]
+    keys = [jax.random.PRNGKey(100 + j) for j in range(3)]
+    batched = simulate_sir_counts_many(
+        karate, trials, sims=600, max_time=12, keys=keys,
+        trials_chunk=2,  # 3 trials -> one full chunk + one PADDED chunk
+        coins="bits16", matmul="bf16",
+    )
+    for j, (sn, b, g) in enumerate(trials):
+        solo = simulate_sir_counts(
+            karate, sn, b, g, sims=600, max_time=12, key=keys[j],
+            coins="bits16", matmul="bf16",
+        )
+        np.testing.assert_array_equal(np.asarray(batched[j]), np.asarray(solo))
+
+
+def test_load_or_extract_labels_many_cache(karate, tmp_path):
+    """Batched extraction writes the same exact-keyed pickles the sequential
+    path does, and a second call is served fully from cache."""
+    from gn_ode_sir_tpu.utils import load_or_extract_labels, load_or_extract_labels_many
+
+    trials = [([0, 5], 0.3, 0.2), ([3], 0.45, 0.1)]
+    keys = [jax.random.PRNGKey(100 + j) for j in range(2)]
+    d_many = tmp_path / "many"
+    d_solo = tmp_path / "solo"
+    got = load_or_extract_labels_many(
+        karate, trials, sim=400, max_time=8, save_dir=str(d_many), keys=keys,
+    )
+    solo = [
+        load_or_extract_labels(
+            karate, sn, b, g, sim=400, max_time=8, save_dir=str(d_solo),
+            key=keys[j],
+        )
+        for j, (sn, b, g) in enumerate(trials)
+    ]
+    for a, b in zip(got, solo):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert sorted(os.listdir(d_many)) == sorted(os.listdir(d_solo))
+    again = load_or_extract_labels_many(
+        karate, trials, sim=400, max_time=8, save_dir=str(d_many), keys=keys,
+    )
+    for a, b in zip(got, again):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_int8_matmul_mode_bit_identical(karate):
     """The int8 MXU counts path (s8 x s8 -> s32) must produce BIT-IDENTICAL
     labels to the bf16 path: indicator x {0,1}-adjacency products and their
