@@ -518,7 +518,13 @@ def run_multigraph(args):
         verbose=True, log_every=args.log_every,
         metrics_logger=_fault_injector(args),
         checkpoint_dir=(
-            os.path.join(args.path_to_save, f"ckpt-trial{args.trial}-{args.model}-mg")
+            # dataset names in the path: '+' datasets share path_to_save, so
+            # a names-free dir would collide across multigraph runs and a
+            # later --resume could silently restore another dataset's params
+            os.path.join(
+                args.path_to_save,
+                f"ckpt-trial{args.trial}-{args.model}-mg-{'-'.join(names)}",
+            )
             if (args.checkpoint_every or args.resume or args.auto_checkpoint)
             else None
         ),

@@ -63,6 +63,23 @@ def _resolve_coins(coins: str) -> str:
         return "bits16" if jax.default_backend() == "cpu" else "rbg16"
     return coins
 
+def _raw_key(key):
+    """Normalize a caller-supplied PRNG key to raw uint32[2] threefry data.
+
+    Accepts both the legacy raw style (``jax.random.PRNGKey``) and new-style
+    typed keys (``jax.random.key``) — the rbg16 coin path re-wraps the words
+    for XLA's RngBitGenerator, which needs raw key data, so a typed key
+    passed straight through would fail at trace time. Typed keys of wider
+    impls (e.g. rbg, uint32[4]) contribute their first two words.
+    """
+    if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
+    key = jnp.asarray(key)
+    if key.ndim != 1 or key.shape[0] < 2:
+        raise ValueError(f"expected a PRNG key, got shape {key.shape}")
+    return key[:2]
+
+
 # Device-resident adjacency cache: re-uploading a 100+ MB dense adjacency per
 # call dominated simulate_sir wall time before this existed.
 _ADJ_CACHE: dict = {}
@@ -267,8 +284,7 @@ def simulate_sir_counts(
     (HBM control); chunks run sequentially, each fully vectorized.
     """
     coins = _resolve_coins(coins)
-    if key is None:
-        key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(0) if key is None else _raw_key(key)
     if matmul == "auto":
         # int8 MXU (s8xs8->s32) is exactly equal in output and measured
         # faster where the matmul dominates (enron 10k sims: 2,818/s vs
@@ -366,6 +382,7 @@ def simulate_sir_counts_many(
     if keys is None:
         k0 = jax.random.PRNGKey(0)
         keys = [jax.random.fold_in(k0, 1000 + j) for j in range(ntr)]
+    keys = [_raw_key(k) for k in keys]
     if trials_chunk is None:
         # balance chunks so padding waste is bounded by n_chunks-1 trials
         # TOTAL (naive ceil-chunking can pad a near-empty final chunk: 16
@@ -390,7 +407,7 @@ def simulate_sir_counts_many(
     for j, (seed_nodes, beta, gamma) in enumerate(trials):
         masks[j, np.asarray(seed_nodes)] = 1.0
         betas[j], gammas[j] = beta, gamma
-    keys_arr = jnp.stack([jnp.asarray(k) for k in keys])
+    keys_arr = jnp.stack(keys)
 
     out: list[np.ndarray] = []
     B = trials_chunk
@@ -404,9 +421,7 @@ def simulate_sir_counts_many(
             out_u16=sims < 65536,
         )
         ir_host = np.asarray(ir, dtype=np.float32)[: len(idx)]
-        for row in ir_host:
-            s = np.float32(sims) - row[:, 0] - row[:, 1]
-            out.append(np.stack([s, row[:, 0], row[:, 1]], axis=1))
+        out.extend(_expand_ir_sums(row, sims) for row in ir_host)
     return out
 
 
@@ -455,8 +470,7 @@ def simulate_sir_per_sim(
     so chunk externally for very large graphs.
     """
     coins = _resolve_coins(coins)
-    if key is None:
-        key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(0) if key is None else _raw_key(key)
     a = _device_adjacency(graph, jnp.bfloat16)
     seeds_mask = np.zeros(graph.n_nodes, np.float32)
     seeds_mask[np.asarray(seed_nodes)] = 1.0

@@ -319,10 +319,17 @@ def fit(
         # that finish in seconds.
         if (checkpoint_dir and checkpoint_auto_s and not checkpoint_every
                 and epoch == start_epoch + 2):
-            mean_s = float(np.mean(epoch_times[-3:]))
-            projected = mean_s * (epochs - start_epoch)
+            # steady-state epoch cost = the MIN of the first three: the
+            # first epoch carries the jit compile (minutes through the TPU
+            # tunnel) and would both over-trigger and set a cadence of
+            # seconds if averaged in
+            steady_s = float(np.min(epoch_times[-3:]))
+            projected = (
+                float(np.sum(epoch_times))
+                + steady_s * (epochs - epoch - 1)
+            )
             if projected > checkpoint_auto_s:
-                checkpoint_every = max(1, int(300.0 / mean_s))
+                checkpoint_every = max(1, int(300.0 / steady_s))
                 if verbose:
                     print(f"auto-checkpoint: projected {projected/60:.1f} min "
                           f"run -> saving every {checkpoint_every} epochs")
@@ -331,7 +338,13 @@ def fit(
 
     if profiling:
         jax.profiler.stop_trace()
-    if checkpoint_dir and epochs > start_epoch:
+    # Final-save rule: an explicitly-requested checkpoint_dir always gets
+    # the end-of-run save (the resume contract), EXCEPT when it was armed
+    # only via the auto cadence (checkpoint_auto_s) and the projection
+    # decided the run was short — those runs must not pay an Orbax write
+    # through the tunnel just because the worker plumbs a dir by default.
+    if (checkpoint_dir and epochs > start_epoch
+            and (checkpoint_every or not checkpoint_auto_s)):
         _save(epochs - 1)
     return FitResult(
         params=params,

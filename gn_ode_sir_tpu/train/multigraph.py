@@ -63,9 +63,17 @@ def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False,
     blocks; ``'coo'`` gathers padded edge rows for segment-sum SpMM.
     """
     if kind == "auto":
-        itemsize = 4 if gcn_normalized else 2
-        stack_bytes = batch.num_graphs * batch.n_max * batch.n_max * itemsize
-        kind = "dense" if stack_bytes <= MG_DENSE_BYTES_LIMIT else "coo"
+        kind = resolve_mg_kind(batch, gcn_normalized=gcn_normalized)
+        if kind == "pallas2":
+            # the fast over-limit backend has a different calling convention
+            # (graph-homogeneous batches, separate train/eval adj_fns) — fail
+            # loudly rather than silently serving the measured-slowest COO
+            raise ValueError(
+                "auto resolved to the stacked-Pallas2 backend for this batch "
+                "size; call multigraph_pallas2_fns(batch, ...) with "
+                "fit(batch_by_graph=True), or pass kind='coo'/'dense' "
+                "explicitly to keep heterogeneous batching"
+            )
     if gcn_normalized:
         src, dst, w = _normalized_edges(batch)
     else:
