@@ -283,3 +283,24 @@ def test_multigraph_fit_pallas2_end_to_end(two_graphs, tmp_path):
     np.testing.assert_allclose(res_p.history[-1][1], res_c.history[-1][1],
                                rtol=1e-3)
     np.testing.assert_allclose(res_p.test_loss, res_c.test_loss, rtol=1e-3)
+
+
+def test_auto_kind_delegates_to_resolver(two_graphs, monkeypatch):
+    """multigraph_adj_fns(kind='auto') must share one threshold with
+    resolve_mg_kind — and fail loudly (pointing at multigraph_pallas2_fns)
+    when the resolver picks the stacked-Pallas2 backend this function
+    cannot serve, instead of silently falling back to the slowest COO."""
+    import gn_ode_sir_tpu.train.multigraph as mg
+
+    batch = pad_graphs(two_graphs)
+    assert mg.resolve_mg_kind(batch) == "dense"  # tiny batch under limit
+    # force the over-limit branch
+    monkeypatch.setattr(mg, "MG_DENSE_BYTES_LIMIT", 1)
+    kind = mg.resolve_mg_kind(batch)
+    if kind == "pallas2":  # TPU backend
+        with pytest.raises(ValueError, match="multigraph_pallas2_fns"):
+            mg.multigraph_adj_fns(batch, kind="auto")
+    else:  # CPU keeps COO (interpret-mode Pallas crawls)
+        assert kind == "coo"
+        adj_fn, _, aux = mg.multigraph_adj_fns(batch, kind="auto")
+        assert "src" in aux  # the COO aux layout

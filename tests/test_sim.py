@@ -260,3 +260,48 @@ def test_int8_matmul_mode_bit_identical(karate):
                               matmul="int8")
     for a, b in ((s1, s2), (i1, i2), (r1, r2)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_typed_prng_key_accepted_and_matches_raw(karate):
+    """New-style typed keys (jax.random.key) must work on every public sim
+    entry point and reproduce the legacy raw-key stream — the rbg16 coin
+    path re-wraps raw uint32 words, so typed keys are normalized up front
+    (mc_sir._raw_key)."""
+    import jax
+
+    from gn_ode_sir_tpu.sim import simulate_sir
+    from gn_ode_sir_tpu.sim.mc_sir import _raw_key, simulate_sir_per_sim
+
+    a = simulate_sir(karate, [0, 5], 0.3, 0.2, sims=300,
+                     key=jax.random.key(7))
+    b = simulate_sir(karate, [0, 5], 0.3, 0.2, sims=300,
+                     key=jax.random.PRNGKey(7))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    pa = simulate_sir_per_sim(karate, [1], 0.3, 0.2, sims=50, max_time=6,
+                              key=jax.random.key(3))
+    pb = simulate_sir_per_sim(karate, [1], 0.3, 0.2, sims=50, max_time=6,
+                              key=jax.random.PRNGKey(3))
+    for x, y in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    with pytest.raises(ValueError):
+        _raw_key(np.zeros((2, 2), np.uint32))
+
+
+def test_batched_trials_typed_keys(karate):
+    """simulate_sir_counts_many normalizes a per-trial typed-key list."""
+    import jax
+
+    from gn_ode_sir_tpu.sim.mc_sir import simulate_sir_counts_many
+
+    trials = [([0], 0.3, 0.2), ([1, 2], 0.4, 0.1)]
+    kt = [jax.random.key(10), jax.random.key(11)]
+    kr = [jax.random.PRNGKey(10), jax.random.PRNGKey(11)]
+    got_t = simulate_sir_counts_many(karate, trials, sims=200, max_time=6,
+                                     keys=kt)
+    got_r = simulate_sir_counts_many(karate, trials, sims=200, max_time=6,
+                                     keys=kr)
+    for a, b in zip(got_t, got_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

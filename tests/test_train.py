@@ -219,3 +219,40 @@ def test_resume_reproduces_uninterrupted_trace(random_graph, tmp_path):
         rtol=1e-6)
     np.testing.assert_allclose(resumed.test_loss, full.test_loss, rtol=1e-6)
     assert resumed.best_epoch == full.best_epoch
+
+
+def test_auto_checkpoint_gating(random_graph, tmp_path):
+    """checkpoint_auto_s arms checkpointing ONLY for runs projected past the
+    threshold: a short run leaves the dir empty (no Orbax write through the
+    tunnel), a run projected long turns on the cadence and writes, and an
+    explicit checkpoint_dir WITHOUT auto keeps the unconditional final save
+    (the resume contract, test_fit_checkpoint_resume)."""
+    from gn_ode_sir_tpu.sim import sir_classical
+
+    g = random_graph
+    rng = np.random.default_rng(2)
+    N, T = 6, 6
+    seed_sets, betas, gammas, triples = [], [], [], []
+    for _ in range(N):
+        seeds = rng.choice(g.n_nodes, 2, replace=False)
+        b, gm = rng.uniform(0.1, 0.5), rng.uniform(0.1, 0.5)
+        i_t, s_t, r_t = sir_classical(g, seeds, b, gm, max_time=T)
+        seed_sets.append(list(seeds)); betas.append(b); gammas.append(gm)
+        triples.append((s_t, i_t, r_t))
+    data = build_trial_data(g.n_nodes, seed_sets, betas, gammas, triples)
+    tr, va, te = split_indices(N, (0.6, 0.2, 0.2))
+    model = GNODE(hidden=8, max_time=T)
+    adj = adjacency_from_graph(g)
+    params = model.init(jax.random.PRNGKey(0))
+
+    short = str(tmp_path / "short")
+    fit(model, optax.adam(1e-2), params, data, tr, va, te, lambda gi: adj,
+        epochs=6, batch_size=4, verbose=False,
+        checkpoint_dir=short, checkpoint_auto_s=1e9)
+    assert not os.path.exists(short) or not os.listdir(short)
+
+    long_ = str(tmp_path / "long")
+    fit(model, optax.adam(1e-2), params, data, tr, va, te, lambda gi: adj,
+        epochs=6, batch_size=4, verbose=False,
+        checkpoint_dir=long_, checkpoint_auto_s=1e-6)
+    assert os.path.exists(long_) and os.listdir(long_)
