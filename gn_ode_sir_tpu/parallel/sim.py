@@ -14,7 +14,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from gn_ode_sir_tpu.sim.mc_sir import _expand_ir_sums, _simulate_chunk
+from gn_ode_sir_tpu.sim.mc_sir import (
+    _expand_ir_sums,
+    _raw_key,
+    _resolve_coins,
+    _simulate_chunk,
+)
 
 
 def simulate_sir_sharded(
@@ -29,16 +34,22 @@ def simulate_sir_sharded(
     key=None,
     axis: str = "data",
     matmul: str = "auto",
+    coins: str = "auto",
 ):
     """Per-node S/I/R probabilities [max_time, n] each, sims sharded on ``axis``."""
-    if key is None:
-        key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(0) if key is None else _raw_key(key)
     n_dev = mesh.shape[axis]
     sims_local = -(-sims // n_dev)  # ceil; total = sims_local * n_dev
     total = sims_local * n_dev
 
-    if matmul == "auto":  # same policy as simulate_sir: int8 MXU on TPU
+    # same auto policies as the single-device simulate_sir (mc_sir.py):
+    # int8 MXU counts + unconditional int8 (I, R) carry + rbg16 coins on
+    # TPU, bf16/f32/threefry elsewhere — the per-device program IS the
+    # single-device program at sims_local, so the round-3 wins carry over
+    coins = _resolve_coins(coins)
+    if matmul == "auto":
         matmul = "bf16" if jax.default_backend() == "cpu" else "int8"
+    state_i8 = matmul == "int8" and coins != "pallas"
     a = jnp.asarray(
         graph.dense_adjacency, jnp.int8 if matmul == "int8" else jnp.bfloat16
     )
@@ -49,7 +60,8 @@ def simulate_sir_sharded(
         dev = jax.lax.axis_index(axis)
         k = jax.random.fold_in(key_, dev)
         ir = _simulate_chunk(  # [T, 2, n] (I, R) sums; S sums are implied
-            a_, seeds_, float(beta), float(gamma), k, sims=sims_local, max_time=max_time
+            a_, seeds_, float(beta), float(gamma), k, sims=sims_local,
+            max_time=max_time, coins=coins, state_i8=state_i8,
         )
         return jax.lax.psum(ir, axis)
 
