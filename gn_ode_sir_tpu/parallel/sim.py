@@ -15,6 +15,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from gn_ode_sir_tpu.sim.mc_sir import (
+    _device_adjacency,
     _expand_ir_sums,
     _raw_key,
     _resolve_coins,
@@ -47,12 +48,15 @@ def simulate_sir_sharded(
     # TPU, bf16/f32/threefry elsewhere — the per-device program IS the
     # single-device program at sims_local, so the round-3 wins carry over
     coins = _resolve_coins(coins)
+    if coins == "pallas":
+        # never compiled under shard_map; a failed remote Pallas compile
+        # wedges the tunnel's chip claim (CLAUDE.md), so reject up front
+        # like simulate_sir_counts_many does for its batched path
+        raise ValueError("the pallas coin kernel has no sharded path")
     if matmul == "auto":
         matmul = "bf16" if jax.default_backend() == "cpu" else "int8"
-    state_i8 = matmul == "int8" and coins != "pallas"
-    a = jnp.asarray(
-        graph.dense_adjacency, jnp.int8 if matmul == "int8" else jnp.bfloat16
-    )
+    state_i8 = matmul == "int8"
+    a = _device_adjacency(graph, jnp.int8 if matmul == "int8" else jnp.bfloat16)
     seeds_mask = jnp.zeros(graph.n_nodes, jnp.float32)
     seeds_mask = seeds_mask.at[jnp.asarray(np.asarray(seed_nodes))].set(1.0)
 

@@ -33,14 +33,26 @@ from gn_ode_sir_tpu.ops.ell import build_ell_buckets
 
 
 def _bench(fn, args, repeats):
-    fn(*args)  # compile + warm
+    t0 = time.perf_counter()
+    out = fn(*args)
+    float(np.asarray(out).sum())  # full host readback
+    compile_plus_first = time.perf_counter() - t0
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = fn(*args)
         float(np.asarray(out).sum())  # full host readback
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best, compile_plus_first
+
+
+# The scalar checksum only forces the readback and the step-to-step data
+# dependency; exactness lives in --check. Per-step totals fit int32
+# (~2e8 << 2^31 at enron scale); the cross-step accumulator is f32 so it
+# cannot wrap (the previous int64 intent silently truncated to int32 with
+# x64 disabled and overflowed at wiki-vote scale).
+def _step_checksum(counts):
+    return counts.sum(dtype=jnp.int32).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("steps",))
@@ -49,33 +61,29 @@ def dense_loop(states, a_i8, steps: int):
     def step(acc, t):
         i = states[t % 4]
         counts = jnp.dot(i, a_i8, preferred_element_type=jnp.int32)
-        return acc + counts.sum(dtype=jnp.int64), None
+        return acc + _step_checksum(counts), None
 
-    acc, _ = jax.lax.scan(step, jnp.int64(0), jnp.arange(steps))
+    acc, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(steps))
     return acc
 
 
-def make_ell_loop(bucket_idx, inv_perm, acc_dtype):
-    bucket_idx = tuple(jnp.asarray(b) for b in bucket_idx)
+# bucket_idx/inv_perm are jit ARGUMENTS, not closures — closure-captured
+# device arrays become HLO constants and bloat the remote compile
+# (CLAUDE.md; fit() threads adj_aux the same way).
+@partial(jax.jit, static_argnames=("steps", "acc_dtype"))
+def ell_loop(states_t, bucket_idx, inv_perm, steps: int, acc_dtype):
+    # states_t: [4, n+1, sims] int8 (zero pad row already appended)
+    def step(acc, t):
+        xt = states_t[t % 4]
+        outs = [xt[idx].sum(axis=1, dtype=acc_dtype) for idx in bucket_idx]
+        counts = jnp.concatenate(outs, axis=0)  # sorted-node order
+        # node order does not matter for the probe's checksum; the real
+        # integration applies inv_perm (one more [n, sims] gather)
+        counts = counts[inv_perm]
+        return acc + _step_checksum(counts), None
 
-    @partial(jax.jit, static_argnames=("steps",))
-    def ell_loop(states_t, steps: int):
-        # states_t: [4, n+1, sims] int8 (zero pad row already appended)
-        def step(acc, t):
-            xt = states_t[t % 4]
-            outs = [
-                xt[idx].sum(axis=1, dtype=acc_dtype) for idx in bucket_idx
-            ]
-            counts = jnp.concatenate(outs, axis=0)  # sorted-node order
-            # node order does not matter for the probe's checksum; the real
-            # integration applies inv_perm (one more [n, sims] gather)
-            counts = counts[inv_perm]
-            return acc + counts.sum(dtype=jnp.int64), None
-
-        acc, _ = jax.lax.scan(step, jnp.int64(0), jnp.arange(steps))
-        return acc
-
-    return ell_loop
+    acc, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(steps))
+    return acc
 
 
 def main():
@@ -117,8 +125,8 @@ def main():
     if not args.skip_dense:
         a_i8 = jnp.asarray(g.dense_adjacency, jnp.int8)
         st = jnp.asarray(states)
-        best = _bench(lambda s: dense_loop(s, a_i8, args.steps), (st,),
-                      args.repeats)
+        best, _ = _bench(lambda s: dense_loop(s, a_i8, args.steps), (st,),
+                         args.repeats)
         out["dense_s_per_step"] = best / args.steps
         del st, a_i8
 
@@ -126,11 +134,13 @@ def main():
         [states.transpose(0, 2, 1),
          np.zeros((4, 1, args.sims), np.int8)], axis=1)
     st_t = jnp.asarray(states_t)
+    bidx = tuple(jnp.asarray(b) for b in bucket_idx)
+    iperm = jnp.asarray(inv_perm)
     acc_dtype = jnp.int32 if args.acc == "int32" else jnp.int16
-    ell_loop = make_ell_loop(bucket_idx, inv_perm, acc_dtype)
-    t0 = time.perf_counter()
-    best = _bench(lambda s: ell_loop(s, args.steps), (st_t,), args.repeats)
-    out["ell_compile_plus_first_s"] = time.perf_counter() - t0
+    best, compile_s = _bench(
+        lambda s: ell_loop(s, bidx, iperm, args.steps, acc_dtype),
+        (st_t,), args.repeats)
+    out["ell_compile_plus_first_s"] = compile_s
     out[f"ell_{args.acc}_s_per_step"] = best / args.steps
     print(json.dumps(out))
 
