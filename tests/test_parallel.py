@@ -45,6 +45,15 @@ def test_sharded_sim_matches_single_device(karate, mesh):
     assert np.abs(i1 - i8).mean() < 0.02
 
 
+def test_sharded_sim_rejects_pallas_coins(karate, mesh):
+    """The pallas coin kernel has no shard_map path; reject up front
+    (mirrors simulate_sir_counts_many's batched-path gate)."""
+    with pytest.raises(ValueError, match="pallas"):
+        simulate_sir_sharded(
+            karate, [0], 0.3, 0.2, mesh=mesh, sims=8, coins="pallas"
+        )
+
+
 def test_spmd_train_step_equals_single_device(random_graph, mesh):
     g = random_graph
     model = GNODE(hidden=8, max_time=10)
