@@ -189,7 +189,11 @@ def _reference_proxy_train_step_s(graph, n_probe: int = 3) -> float:
     return (time.perf_counter() - start) / n_probe
 
 
-def measure_ours(graph, repeats: int = 3):
+def measure_ours(graph, repeats: int = 8):
+    # best-of-8: each repeat costs ~60 ms but carries ~37 ms of tunnel
+    # round-trip whose jitter dominates run-to-run spread (measured ~25%
+    # between best-of-3 and best-of-8, runs_r3/state_i8_ab.json); more
+    # repeats converge the min to the true device floor.
     import jax
 
     from gn_ode_sir_tpu.sim import simulate_sir
