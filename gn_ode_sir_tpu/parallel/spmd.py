@@ -116,59 +116,11 @@ class EdgeShardedCooAdj:
         return cls(*children, n_nodes=aux[0], axis=aux[1])
 
 
-def make_spmd_train_step(
-    model, optimizer, adj_fn, mesh, axis: str = "data",
-    aux_example=None, node_mask_fn=None,
-) -> Callable:
-    """Data-parallel train step: batch sharded on ``axis``, params replicated.
-
-    Returns ``step(params, opt_state, batch) -> (params, opt_state, loss)``
-    where ``batch`` is a dict with leading batch axes divisible by the mesh
-    axis size: s0/i0/r0 [B, n], beta/gamma/weight [B], labels [B, T, n, 3],
-    graph_idx [B].
-
-    Multi-graph batches: pass ``aux_example`` (the per-graph connectivity
-    dict from :func:`gn_ode_sir_tpu.train.multigraph_adj_fns` — replicated
-    across the mesh; per-trial rows are gathered on device) and the step
-    becomes ``step(params, opt_state, batch, aux)``; ``adj_fn``/
-    ``node_mask_fn`` then take ``(graph_idx, aux)``, the same convention as
-    :func:`gn_ode_sir_tpu.train.fit`. The aux rides as an ARGUMENT — closure
-    capture would bake it into the HLO as a constant.
-    """
-    use_aux = aux_example is not None
-
-    def local_step(params, opt_state, batch, aux):
-        # The global item-weighted mean is psum(numerator)/psum(weight-sum):
-        # pmean of per-shard means would be wrong whenever trial weights or
-        # padding distribute unevenly across data shards.
-        gi = batch["graph_idx"]
-        node_mask = None
-        if node_mask_fn is not None:
-            node_mask = node_mask_fn(gi, aux) if use_aux else node_mask_fn(gi)
-
-        def loss_fn(p):
-            adj = adj_fn(gi, aux) if use_aux else adj_fn(gi)
-            pred = model.predict(
-                p, adj, batch["s0"], batch["i0"], batch["r0"],
-                batch["beta"], batch["gamma"],
-            )
-            num, den = l1_sir_loss_sums(
-                pred, batch["labels"], trial_weight=batch.get("weight"),
-                node_mask=node_mask,
-            )
-            return num, den
-
-        (num, den), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        den_tot = jax.lax.psum(den, axis)
-        loss = jax.lax.psum(num, axis) / den_tot
-        grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, axis) / den_tot, grads
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    batch_specs = {
+def _batch_specs(axis: str) -> dict:
+    """PartitionSpecs for the standard trial-batch dict (leading dim on
+    ``axis``): s0/i0/r0 [B, n], beta/gamma/weight [B], labels [B, T, n, 3],
+    graph_idx [B]."""
+    return {
         "s0": P(axis, None),
         "i0": P(axis, None),
         "r0": P(axis, None),
@@ -179,45 +131,26 @@ def make_spmd_train_step(
         "graph_idx": P(axis),
     }
 
-    if use_aux:
-        aux_specs = jax.tree_util.tree_map(lambda _: P(), aux_example)
-        sharded = jax.shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(P(), P(), batch_specs, aux_specs),
-            out_specs=(P(), P(), P()),
-            check_vma=False,
-        )
-        return jax.jit(sharded)
 
-    sharded = jax.shard_map(
-        lambda p, o, b: local_step(p, o, b, None),
-        mesh=mesh,
-        in_specs=(P(), P(), batch_specs),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(sharded)
+def _build_spmd_step(model, optimizer, mesh, data_axis: str,
+                     connect: Callable, extra_specs: tuple) -> Callable:
+    """Shared core of every SPMD train-step builder.
 
+    ``connect(batch, *extra) -> (adj, node_mask)`` is the ONLY part the
+    variants differ in; ``extra_specs`` are the PartitionSpecs of the
+    step's trailing arguments after the batch dict. The loss reduction,
+    gradient psum, and optimizer update are identical everywhere:
 
-def make_spmd_train_step_2d(
-    model, optimizer, mesh, n_nodes: int,
-    data_axis: str = "data", edge_axis: str = "edge",
-) -> Callable:
-    """dp x edge-parallel training step over a 2-D mesh.
-
-    The trial batch is sharded over ``data_axis`` and the dst-sorted edge
-    list over ``edge_axis``; message passing runs through
-    :class:`EdgeShardedCooAdj` (psum over ICI inside the ODE function).
-    Gradients are pmean-reduced over ``data_axis`` only — the edge-sharded
-    SpMM's custom VJP already keeps them replicated across ``edge_axis``.
-
-    Batch dict as in :func:`make_spmd_train_step`; edges passed separately
-    as (src [E], dst [E], w [E]) with E divisible by the edge-axis size.
+    - the global item-weighted mean is psum(numerator)/psum(weight-sum) —
+      pmean of per-shard means would be wrong whenever trial weights or
+      padding distribute unevenly across data shards;
+    - gradients reduce over ``data_axis`` ONLY: when connectivity is
+      edge-sharded, :func:`spmm_edge_sharded`'s custom VJP already
+      psum-replicates gradients across the edge axis.
     """
 
-    def local_step(params, opt_state, batch, src, dst, w):
-        adj = EdgeShardedCooAdj(src, dst, w, n_nodes, edge_axis)
+    def local_step(params, opt_state, batch, *extra):
+        adj, node_mask = connect(batch, *extra)
 
         def loss_fn(p):
             pred = model.predict(
@@ -225,7 +158,8 @@ def make_spmd_train_step_2d(
                 batch["beta"], batch["gamma"],
             )
             num, den = l1_sir_loss_sums(
-                pred, batch["labels"], trial_weight=batch.get("weight")
+                pred, batch["labels"], trial_weight=batch.get("weight"),
+                node_mask=node_mask,
             )
             return num, den
 
@@ -239,25 +173,73 @@ def make_spmd_train_step_2d(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    batch_specs = {
-        "s0": P(data_axis, None),
-        "i0": P(data_axis, None),
-        "r0": P(data_axis, None),
-        "beta": P(data_axis),
-        "gamma": P(data_axis),
-        "weight": P(data_axis),
-        "labels": P(data_axis, None, None, None),
-        "graph_idx": P(data_axis),
-    }
-
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), batch_specs, P(edge_axis), P(edge_axis), P(edge_axis)),
+        in_specs=(P(), P(), _batch_specs(data_axis), *extra_specs),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_spmd_train_step(
+    model, optimizer, adj_fn, mesh, axis: str = "data",
+    aux_example=None, node_mask_fn=None,
+) -> Callable:
+    """Data-parallel train step: batch sharded on ``axis``, params replicated.
+
+    Returns ``step(params, opt_state, batch) -> (params, opt_state, loss)``
+    where ``batch`` is a dict with leading batch axes divisible by the mesh
+    axis size (see :func:`_batch_specs`).
+
+    Multi-graph batches: pass ``aux_example`` (the per-graph connectivity
+    dict from :func:`gn_ode_sir_tpu.train.multigraph_adj_fns` — replicated
+    across the mesh; per-trial rows are gathered on device) and the step
+    becomes ``step(params, opt_state, batch, aux)``; ``adj_fn``/
+    ``node_mask_fn`` then take ``(graph_idx, aux)``, the same convention as
+    :func:`gn_ode_sir_tpu.train.fit`. The aux rides as an ARGUMENT — closure
+    capture would bake it into the HLO as a constant.
+    """
+    if aux_example is not None:
+        def connect(batch, aux):
+            gi = batch["graph_idx"]
+            mask = None if node_mask_fn is None else node_mask_fn(gi, aux)
+            return adj_fn(gi, aux), mask
+
+        aux_specs = jax.tree_util.tree_map(lambda _: P(), aux_example)
+        return _build_spmd_step(model, optimizer, mesh, axis, connect,
+                                (aux_specs,))
+
+    def connect(batch):
+        gi = batch["graph_idx"]
+        mask = None if node_mask_fn is None else node_mask_fn(gi)
+        return adj_fn(gi), mask
+
+    return _build_spmd_step(model, optimizer, mesh, axis, connect, ())
+
+
+def make_spmd_train_step_2d(
+    model, optimizer, mesh, n_nodes: int,
+    data_axis: str = "data", edge_axis: str = "edge",
+) -> Callable:
+    """dp x edge-parallel training step over a 2-D mesh.
+
+    The trial batch is sharded over ``data_axis`` and the dst-sorted edge
+    list over ``edge_axis``; message passing runs through
+    :class:`EdgeShardedCooAdj` (psum over ICI inside the ODE function).
+
+    Batch dict as in :func:`make_spmd_train_step`; edges passed separately
+    as (src [E], dst [E], w [E]) with E divisible by the edge-axis size.
+    """
+
+    def connect(batch, src, dst, w):
+        return EdgeShardedCooAdj(src, dst, w, n_nodes, edge_axis), None
+
+    return _build_spmd_step(
+        model, optimizer, mesh, data_axis, connect,
+        (P(edge_axis), P(edge_axis), P(edge_axis)),
+    )
 
 
 def make_spmd_multigraph_train_step_2d(
@@ -275,63 +257,23 @@ def make_spmd_multigraph_train_step_2d(
     src/dst/w [G, E] (E divisible by the edge-axis size) + node_mask
     [G, n]. Each device gathers its trials' rows of its LOCAL edge slice —
     [B_local, E_local] — and message passing runs through the per-sample
-    edge-sharded SpMM (partial segment sums psum over ICI; its custom VJP
-    keeps upstream grads replicated across ``edge_axis``).
+    edge-sharded SpMM.
 
     Returns ``step(params, opt_state, batch, aux)``; batch dict as in
     :func:`make_spmd_train_step`.
     """
 
-    def local_step(params, opt_state, batch, aux):
+    def connect(batch, aux):
         gi = batch["graph_idx"]
         adj = EdgeShardedCooAdj(
             aux["src"][gi], aux["dst"][gi], aux["w"][gi], n_nodes, edge_axis
         )
-        node_mask = None if node_mask_fn is None else node_mask_fn(gi, aux)
+        mask = None if node_mask_fn is None else node_mask_fn(gi, aux)
+        return adj, mask
 
-        def loss_fn(p):
-            pred = model.predict(
-                p, adj, batch["s0"], batch["i0"], batch["r0"],
-                batch["beta"], batch["gamma"],
-            )
-            num, den = l1_sir_loss_sums(
-                pred, batch["labels"], trial_weight=batch.get("weight"),
-                node_mask=node_mask,
-            )
-            return num, den
-
-        (num, den), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        # reduce over the data axis only: the edge-sharded VJP already
-        # psum-replicates gradients across the edge axis
-        den_tot = jax.lax.psum(den, data_axis)
-        loss = jax.lax.psum(num, data_axis) / den_tot
-        grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, data_axis) / den_tot, grads
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    batch_specs = {
-        "s0": P(data_axis, None),
-        "i0": P(data_axis, None),
-        "r0": P(data_axis, None),
-        "beta": P(data_axis),
-        "gamma": P(data_axis),
-        "weight": P(data_axis),
-        "labels": P(data_axis, None, None, None),
-        "graph_idx": P(data_axis),
-    }
     aux_specs = {
         k: (P(None, edge_axis) if k in ("src", "dst", "w") else P())
         for k in aux_example
     }
-
-    sharded = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(), P(), batch_specs, aux_specs),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(sharded)
+    return _build_spmd_step(model, optimizer, mesh, data_axis, connect,
+                            (aux_specs,))

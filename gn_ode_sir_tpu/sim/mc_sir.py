@@ -374,8 +374,6 @@ def simulate_sir_counts_many(
     coins = _resolve_coins(coins)
     if matmul == "auto":
         matmul = "bf16" if jax.default_backend() == "cpu" else "int8"
-    if coins == "pallas":
-        raise ValueError("the pallas coin kernel has no batched-trials path")
     state_i8 = matmul == "int8"
     n = graph.n_nodes
     ntr = len(trials)
@@ -383,6 +381,17 @@ def simulate_sir_counts_many(
         k0 = jax.random.PRNGKey(0)
         keys = [jax.random.fold_in(k0, 1000 + j) for j in range(ntr)]
     keys = [_raw_key(k) for k in keys]
+    if coins == "pallas":
+        # the fused coin kernel has no batched-trials (vmap) path: fall back
+        # to the single-trial program per trial so `--coins pallas` keeps
+        # working through every extraction entry point
+        return [
+            simulate_sir_counts(
+                graph, sn, b, g, sims=sims, max_time=max_time, key=keys[j],
+                coins=coins, matmul=matmul,
+            )
+            for j, (sn, b, g) in enumerate(trials)
+        ]
     if trials_chunk is None:
         # balance chunks so padding waste is bounded by n_chunks-1 trials
         # TOTAL (naive ceil-chunking can pad a near-empty final chunk: 16

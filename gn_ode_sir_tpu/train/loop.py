@@ -198,6 +198,17 @@ def fit(
     (``epoch_batches_grouped``), required by adj_fns that read one shared
     plan per batch.
     """
+    # adj_fns that read ONE shared plan per minibatch (graph_idx[0], e.g.
+    # multigraph_pallas2_fns) declare it; running them with mixed-graph
+    # batches would silently apply the wrong connectivity to most samples
+    for f in (adj_fn, eval_adj_fn):
+        if (f is not None and getattr(f, "requires_grouped_batches", False)
+                and not batch_by_graph):
+            raise ValueError(
+                f"{getattr(f, '__name__', 'adj_fn')} applies one graph's "
+                "plan to the whole minibatch: it requires graph-homogeneous "
+                "batches — call fit(..., batch_by_graph=True)"
+            )
     d = _data_to_device(data)
     if adj_aux is not None:
         d["__adj_aux__"] = jax.tree_util.tree_map(jnp.asarray, adj_aux)
@@ -229,12 +240,14 @@ def fit(
     history, epoch_times = [], []
     start_epoch = 0
 
+    ckpt_on_disk = False  # restored-from or written-to this run
     if checkpoint_dir and resume:
         import os
 
         from gn_ode_sir_tpu.train.checkpoint import restore_checkpoint
 
         if os.path.isdir(os.path.join(checkpoint_dir, "state")):
+            ckpt_on_disk = True
             target = {
                 "params": params, "opt_state": opt_state, "epoch": 0,
                 "best_val": 0.0, "best_epoch": 0, "test_loss": 0.0,
@@ -259,6 +272,8 @@ def fit(
                 print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
 
     def _save(epoch):
+        nonlocal ckpt_on_disk
+        ckpt_on_disk = True
         from gn_ode_sir_tpu.train.checkpoint import save_checkpoint
 
         # NaN test_loss (no val improvement yet) is persisted as-is: coercing
@@ -343,8 +358,12 @@ def fit(
     # only via the auto cadence (checkpoint_auto_s) and the projection
     # decided the run was short — those runs must not pay an Orbax write
     # through the tunnel just because the worker plumbs a dir by default.
+    # If a checkpoint is ALREADY on disk (restored-from or written mid-run)
+    # the final save is mandatory regardless: otherwise a resumed run whose
+    # short tail never re-arms the cadence would complete while leaving the
+    # stale crash-era state as the directory's truth.
     if (checkpoint_dir and epochs > start_epoch
-            and (checkpoint_every or not checkpoint_auto_s)):
+            and (checkpoint_every or ckpt_on_disk or not checkpoint_auto_s)):
         _save(epochs - 1)
     return FitResult(
         params=params,

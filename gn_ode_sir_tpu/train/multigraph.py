@@ -191,6 +191,11 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
                               r_rows=r_rows, interpret=interpret,
                               precision=precision)
 
+    # fit() refuses to run these with heterogeneous minibatches: adj_from_
+    # stack applies graph_idx[0]'s plan to the WHOLE batch, which would
+    # silently train most samples against the wrong graph's connectivity
+    train_adj_fn.requires_grouped_batches = True
+    eval_adj_fn.requires_grouped_batches = True
     return train_adj_fn, eval_adj_fn, node_mask_fn, aux
 
 

@@ -136,8 +136,12 @@ def load_or_extract_labels_many(
     :func:`gn_ode_sir_tpu.sim.simulate_sir_many` (one vmapped device program
     per ``trials_chunk`` trials — the per-trial dispatch/tunnel floor is paid
     once per chunk instead of once per trial). ``keys`` gives one PRNG key
-    per trial (aligned with ``trials``) so cache misses draw the same streams
-    the sequential path would.
+    per trial (aligned with ``trials``). With threefry coins (``bits16``)
+    each miss draws the exact stream the sequential path would under its
+    key; with ``rbg16`` (the TPU ``auto`` default) XLA's RngBitGenerator
+    batches from a single key, so a miss's draw is a valid but
+    batch-composition-dependent stream (re-running with a different set of
+    cache misses re-draws them) — both are equally correct MC estimates.
     """
     triples: list = [None] * len(trials)
     missing: list[int] = []

@@ -21,12 +21,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gn_ode_sir_tpu.graphs import load_graph
 from gn_ode_sir_tpu.ops.ell import build_ell_buckets
@@ -98,7 +102,13 @@ def main():
     ap.add_argument("--acc", default="int32", choices=["int32", "int16"])
     args = ap.parse_args()
 
-    g = load_graph(args.graph)
+    # bare names resolve like the other probe scripts: an explicit path is
+    # used as-is, otherwise <data_root>/real_graphs/<name>
+    graph_path = args.graph
+    if not os.path.exists(graph_path) and not os.path.exists(graph_path + ".pkl"):
+        root = os.environ.get("GN_ODE_SIR_DATA_ROOT", "/root/reference")
+        graph_path = os.path.join(root, "real_graphs", args.graph)
+    g = load_graph(graph_path)
     n = g.n_nodes
     rng = np.random.default_rng(0)
     states = (rng.random((4, args.sims, n)) < args.p).astype(np.int8)

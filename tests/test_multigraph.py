@@ -285,6 +285,31 @@ def test_multigraph_fit_pallas2_end_to_end(two_graphs, tmp_path):
     np.testing.assert_allclose(res_p.test_loss, res_c.test_loss, rtol=1e-3)
 
 
+def test_fit_refuses_pallas2_fns_without_grouped_batches(two_graphs, tmp_path):
+    """The stacked-plan adj_fns apply graph_idx[0]'s plan to the whole
+    minibatch; fit() must fail LOUDLY when called without
+    batch_by_graph=True instead of silently training most samples against
+    the wrong graph's connectivity."""
+    from gn_ode_sir_tpu.train import multigraph_pallas2_fns
+
+    rng = np.random.default_rng(3)
+    per_graph = [[([int(x) for x in rng.choice(g.n_nodes, 2, replace=False)],
+                   0.3, 0.2)] * 2 for g in two_graphs]
+    batch, data = assemble_multigraph_trials(
+        two_graphs, per_graph, sim=50, max_time=6,
+        label_dirs=[str(tmp_path / g.name) for g in two_graphs],
+    )
+    tr, va, te = multigraph_split([2, 2])
+    model = GNODE(hidden=8, max_time=6)
+    params = model.init(jax.random.PRNGKey(0))
+    tr_fn, ev_fn, mask_fn, aux_p = multigraph_pallas2_fns(
+        batch, eval_graph=-1, k_edges=32, r_rows=8, interpret=True)
+    with pytest.raises(ValueError, match="graph-homogeneous"):
+        fit(model, optax.adam(1e-2), params, data, tr, va, te, tr_fn,
+            adj_aux=aux_p, eval_adj_fn=ev_fn, batch_by_graph=False,
+            epochs=1, batch_size=2, node_mask_fn=mask_fn, verbose=False)
+
+
 def test_auto_kind_delegates_to_resolver(two_graphs, monkeypatch):
     """multigraph_adj_fns(kind='auto') must share one threshold with
     resolve_mg_kind — and fail loudly (pointing at multigraph_pallas2_fns)

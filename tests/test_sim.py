@@ -213,6 +213,28 @@ def test_batched_trials_bit_identical_to_sequential(karate):
         np.testing.assert_array_equal(np.asarray(batched[j]), np.asarray(solo))
 
 
+def test_batched_trials_pallas_coins_fall_back_sequential(karate, monkeypatch):
+    """``coins='pallas'`` has no vmapped batched-trials program; the batched
+    entry point must route each trial through the single-trial simulator
+    (regression: it used to raise, crashing every extraction under
+    ``--coins pallas`` since the worker batches all misses)."""
+    from gn_ode_sir_tpu.sim import mc_sir
+
+    calls = []
+
+    def fake_counts(graph, sn, b, g, **kw):
+        calls.append((tuple(sn), b, g, kw.get("coins"), kw.get("key") is not None))
+        return np.zeros((5, 3, graph.n_nodes), np.float32)
+
+    monkeypatch.setattr(mc_sir, "simulate_sir_counts", fake_counts)
+    trials = [([0, 5], 0.3, 0.2), ([3], 0.45, 0.1), ([7], 0.2, 0.3)]
+    out = mc_sir.simulate_sir_counts_many(
+        karate, trials, sims=16, max_time=5, coins="pallas"
+    )
+    assert len(out) == len(trials) and len(calls) == len(trials)
+    assert all(c[3] == "pallas" and c[4] for c in calls)
+
+
 def test_load_or_extract_labels_many_cache(karate, tmp_path):
     """Batched extraction writes the same exact-keyed pickles the sequential
     path does, and a second call is served fully from cache."""

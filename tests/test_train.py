@@ -133,6 +133,49 @@ def test_fit_checkpoint_resume(random_graph, tmp_path):
     assert np.isfinite(res2.test_loss)
 
 
+def test_resumed_short_tail_still_writes_final_checkpoint(random_graph, tmp_path):
+    """A resumed run whose short tail never re-arms the auto cadence must
+    still write the end-of-run checkpoint: the directory's state has to
+    reflect the COMPLETED run, not the crash-era epoch (regression: the
+    final-save gate skipped it whenever checkpoint_auto_s armed the dir and
+    checkpoint_every stayed 0)."""
+    from gn_ode_sir_tpu.sim import sir_classical
+    from gn_ode_sir_tpu.train.checkpoint import restore_checkpoint
+
+    g = random_graph
+    rng = np.random.default_rng(2)
+    N, T = 8, 8
+    seed_sets, betas, gammas, triples = [], [], [], []
+    for _ in range(N):
+        seeds = rng.choice(g.n_nodes, 2, replace=False)
+        b, gm = rng.uniform(0.1, 0.5), rng.uniform(0.1, 0.5)
+        i_t, s_t, r_t = sir_classical(g, seeds, b, gm, max_time=T)
+        seed_sets.append(list(seeds)); betas.append(b); gammas.append(gm)
+        triples.append((s_t, i_t, r_t))
+    data = build_trial_data(g.n_nodes, seed_sets, betas, gammas, triples)
+    tr, va, te = split_indices(N, (0.6, 0.2, 0.2))
+    model = GNODE(hidden=8, max_time=T)
+    adj = adjacency_from_graph(g)
+    opt = optax.adam(1e-2)
+    ckpt = str(tmp_path / "ck")
+
+    params = model.init(jax.random.PRNGKey(0))
+    # leg 1: explicit periodic checkpoints, "crash" leaves epoch-3 state
+    fit(model, opt, params, data, tr, va, te, lambda gi: adj,
+        epochs=4, batch_size=4, verbose=False,
+        checkpoint_dir=ckpt, checkpoint_every=4)
+    # leg 2: resume for a 2-epoch tail with ONLY the auto cadence armed
+    # (checkpoint_every=0, huge checkpoint_auto_s -> never triggers)
+    res = fit(model, opt, params, data, tr, va, te, lambda gi: adj,
+              epochs=6, batch_size=4, verbose=False,
+              checkpoint_dir=ckpt, resume=True, checkpoint_auto_s=1e9)
+    assert res.history[0][0] == 4
+    target = {"params": params, "opt_state": res.opt_state, "epoch": 0,
+              "best_val": 0.0, "best_epoch": 0, "test_loss": 0.0}
+    st = restore_checkpoint(ckpt, target)
+    assert int(st["epoch"]) == 5, "final checkpoint must be the completed run"
+
+
 def test_csv_sink_schema(tmp_path):
     from gn_ode_sir_tpu.utils import csv_trials, save_trial_to_csv
     from gn_ode_sir_tpu.utils.config import ExperimentConfig
