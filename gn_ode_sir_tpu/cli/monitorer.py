@@ -107,8 +107,17 @@ def build_worker_argv(cfg: MatrixConfig, dataset, path_to_save, hidden, trial,
     return argv
 
 
-def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False) -> int:
+def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False,
+               retries: int = 0, retry_wait_s: float = 300.0) -> int:
     from gn_ode_sir_tpu.cli import worker
+
+    if retries and not use_subprocess:
+        # A failed device-backend init poisons the hosting process (the
+        # failure is cached by the JAX bridge), so in-process retries of a
+        # transient-TPU failure can never succeed: isolate every attempt.
+        print("[MONITORER] --retry forces --subprocess (a failed backend "
+              "init is cached per process)")
+        use_subprocess = True
 
     # Enumerate the whole matrix up front so `total` (and `--only` numbering)
     # is correct across datasets of differing trial counts.
@@ -159,21 +168,34 @@ def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False) -> int:
         ) + list(extra)
         print(f"[MONITORER] Started experiment {proc_num}/{total}: model={cfg.model} "
               f"dataset={stem} hidden={hidden}")
-        try:
-            if use_subprocess:
-                import subprocess
+        for attempt in range(retries + 1):
+            try:
+                if use_subprocess:
+                    import subprocess
 
-                rc = subprocess.call(
-                    [sys.executable, "-m", "gn_ode_sir_tpu.cli.worker", *argv]
-                )
-                if rc != 0:
-                    raise RuntimeError(f"worker exited with {rc}")
-            else:
-                worker.main(argv)
-        except Exception:
-            print("[MONITORER] Oops! Something broke!")
-            traceback.print_exc()
-            failures += 1
+                    rc = subprocess.call(
+                        [sys.executable, "-m", "gn_ode_sir_tpu.cli.worker", *argv]
+                    )
+                    if rc != 0:
+                        raise RuntimeError(f"worker exited with {rc}")
+                else:
+                    worker.main(argv)
+                break
+            except Exception:
+                traceback.print_exc()
+                if attempt == retries:
+                    print("[MONITORER] Oops! Something broke!")
+                    failures += 1
+                else:
+                    # transient-failure backoff (e.g. a tunneled TPU whose
+                    # chip claim is wedged errors UNAVAILABLE for up to
+                    # ~45 min); periodic checkpoints make a mid-run death
+                    # resume instead of restart (--auto_checkpoint)
+                    print(f"[MONITORER] attempt {attempt + 1}/{retries + 1} "
+                          f"failed; retrying in {retry_wait_s:.0f}s")
+                    import time
+
+                    time.sleep(retry_wait_s)
     print(f"[MONITORER] Completed {total} procedures, {failures} failures.")
     return 1 if failures else 0
 
@@ -213,6 +235,12 @@ def main(argv=None) -> int:
                         "(trial, hidden) pair (many_graph_instances=False)")
     p.add_argument("--config", default=None,
                    help="JSON file of MatrixConfig fields (explicit flags win)")
+    p.add_argument("--retry", type=int, default=0,
+                   help="retry a failed experiment up to N times (forces "
+                        "--subprocess: failed backend inits are cached per "
+                        "process) — rides out transient device outages")
+    p.add_argument("--retry_wait", type=float, default=300.0,
+                   help="seconds to sleep between retry attempts")
     p.add_argument("--model", default=None)
     p.add_argument("--datasets", nargs="+", default=None)
     p.add_argument("--epochs", type=int, default=None)
@@ -251,7 +279,8 @@ def main(argv=None) -> int:
         cfg.experiments_root = args.experiments_root
     if args.seed is not None:
         cfg.seed = args.seed
-    return run_matrix(cfg, only=tuple(args.only), use_subprocess=args.subprocess)
+    return run_matrix(cfg, only=tuple(args.only), use_subprocess=args.subprocess,
+                      retries=args.retry, retry_wait_s=args.retry_wait)
 
 
 if __name__ == "__main__":

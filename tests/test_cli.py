@@ -187,6 +187,35 @@ def test_monitorer_matrix(tmp_path):
     assert rc == 0
 
 
+def test_monitorer_retry_transient_failure(tmp_path, capsys, monkeypatch):
+    """--retry rides out a transient failure: the job is re-attempted after
+    the backoff and a success on the second try counts as no failure. Retry
+    forces subprocess isolation (a failed backend init is cached per
+    process), so the attempts go through subprocess.call — faked here."""
+    import subprocess as sp
+    import time as time_mod
+
+    calls = {"n": 0}
+
+    def fake_call(argv_list, **kw):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else 0  # transient: fails once
+
+    monkeypatch.setattr(sp, "call", fake_call)
+    monkeypatch.setattr(time_mod, "sleep", lambda s: None)
+    cfg = monitorer.MatrixConfig(
+        epochs=1, trials_per_number=2, hidden_dim_array=(8,),
+        datasets_array=(KARATE,), sim=100, max_time=8,
+        experiments_root=str(tmp_path), seed=5,
+    )
+    rc = monitorer.run_matrix(cfg, retries=2, retry_wait_s=0.0)
+    assert rc == 0 and calls["n"] == 2
+    out = capsys.readouterr().out
+    assert "forces --subprocess" in out
+    assert "attempt 1/3 failed" in out
+    assert "0 failures" in out
+
+
 def test_worker_spmm_pallas2(tmp_path):
     """GNODE end-to-end on the chunked Pallas backend (interpret on CPU)."""
     rc = worker.main(_base_argv(tmp_path, "ode_nn", extra=("--spmm", "pallas2")))
