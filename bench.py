@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -438,5 +440,50 @@ def main():
     }))
 
 
+# Errors that indicate a transient tunnel/chip-claim outage (CLAUDE.md:
+# a SIGTERMed stall can wedge the remote claim; each new client then fails
+# with UNAVAILABLE after ~25 min until the claim expires). Same failure
+# mode monitorer --retry was built for; BENCH_r03.json died to it.
+_RETRYABLE = (
+    "Unable to initialize backend",
+    "UNAVAILABLE",
+    "TPU worker crashed or restarted",
+    "DEADLINE_EXCEEDED",
+)
+
+
+def _main_with_retries() -> int:
+    """Run the measurement in a child process, retrying transient TPU
+    outages with backoff. The child is its own availability probe (it
+    exits nonzero by itself when the backend is unavailable); nothing
+    here kills a TPU client — a wedged claim recovers on its own and
+    killing the client extends the wedge (CLAUDE.md)."""
+    retries = int(os.environ.get("GN_BENCH_RETRIES", "4"))
+    wait_s = float(os.environ.get("GN_BENCH_RETRY_WAIT", "300"))
+    for attempt in range(1, retries + 1):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--once"],
+            capture_output=True, text=True,
+        )
+        if proc.returncode == 0:
+            sys.stdout.write(proc.stdout)
+            sys.stderr.write(proc.stderr[-2000:])
+            return 0
+        tail = (proc.stdout + proc.stderr)[-6000:]
+        retryable = any(pat in tail for pat in _RETRYABLE)
+        print(
+            f"[bench] attempt {attempt}/{retries} rc={proc.returncode} "
+            f"retryable={retryable}", file=sys.stderr,
+        )
+        sys.stderr.write(tail[-2000:] + "\n")
+        if not retryable or attempt == retries:
+            return proc.returncode or 1
+        time.sleep(wait_s)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--once" in sys.argv:
+        main()
+    else:
+        sys.exit(_main_with_retries())

@@ -169,17 +169,25 @@ def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False,
         print(f"[MONITORER] Started experiment {proc_num}/{total}: model={cfg.model} "
               f"dataset={stem} hidden={hidden}")
         for attempt in range(retries + 1):
+            # Retry attempts resume from the worker's periodic checkpoint
+            # rather than restarting at epoch 0: --resume is a no-op when
+            # no checkpoint was written yet (fit() only restores what
+            # exists), so appending it is always safe.
+            attempt_argv = list(argv)
+            if attempt > 0 and "--resume" not in attempt_argv:
+                attempt_argv.append("--resume")
             try:
                 if use_subprocess:
                     import subprocess
 
                     rc = subprocess.call(
-                        [sys.executable, "-m", "gn_ode_sir_tpu.cli.worker", *argv]
+                        [sys.executable, "-m", "gn_ode_sir_tpu.cli.worker",
+                         *attempt_argv]
                     )
                     if rc != 0:
                         raise RuntimeError(f"worker exited with {rc}")
                 else:
-                    worker.main(argv)
+                    worker.main(attempt_argv)
                 break
             except Exception:
                 traceback.print_exc()
@@ -224,6 +232,9 @@ def ngraphs_config() -> MatrixConfig:
 
 
 def main(argv=None) -> int:
+    from gn_ode_sir_tpu.cli import apply_data_root_default
+
+    apply_data_root_default()
     p = argparse.ArgumentParser(description="GN-ODE SIR experiment matrix")
     p.add_argument("--only", nargs="+", type=int, default=[])
     p.add_argument("--subprocess", action="store_true",

@@ -698,6 +698,9 @@ def _apply_config_defaults(parser, argv):
 
 
 def main(argv=None):
+    from gn_ode_sir_tpu.cli import apply_data_root_default
+
+    apply_data_root_default()
     parser = build_parser()
     argv = _apply_config_defaults(parser, argv)
     args = parser.parse_args(argv)

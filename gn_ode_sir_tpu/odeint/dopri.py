@@ -144,6 +144,12 @@ def _adaptive_impl(func, y0, ts, args, rtol, atol, total_steps, max_stride):
     T = ts.shape[0]
     if total_steps is None:
         total_steps = 2 * (T - 1)
+    # Force-accept needs rejects >= 2, so with total_steps <= 2 every
+    # attempt can reject and the Hermite fallback would gather attempt 0's
+    # REJECTED endpoints (argmax of all-zero accept mask is 0) — the whole
+    # trajectory would silently extrapolate from an unaccepted trial step.
+    # Three attempts guarantee at least one acceptance.
+    total_steps = max(int(total_steps), 3)
     dt0 = ts[1] - ts[0]
     t_end = ts[-1]
     f0 = func(ts[0], y0, args)

@@ -104,8 +104,47 @@ def load_or_extract_labels(
         matmul=matmul,
     )
     if save_dir is not None:
+        _record_coin_mode(save_dir, coins)
         _write_labels(save_dir, graph.name, seed_nodes, beta, gamma, (s, i, r))
     return s, i, r
+
+
+def _record_coin_mode(save_dir: str, coins: str) -> None:
+    """Persist the RESOLVED coin mode next to the label cache.
+
+    ``coins='auto'`` resolves to ``rbg16`` on TPU, whose draws depend on the
+    batch composition of cache misses and on the XLA build — so a cold-cache
+    rerun of a pinned experiment can regenerate different (equally valid) MC
+    labels. Recording the mode makes that visible: if a later extraction into
+    the same cache uses a different mode, the mix is flagged loudly instead
+    of silently blending streams.
+    """
+    import json
+
+    from gn_ode_sir_tpu.sim.mc_sir import _resolve_coins
+
+    resolved = _resolve_coins(coins)
+    os.makedirs(save_dir, exist_ok=True)
+    meta_path = os.path.join(save_dir, "coins-mode.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if prev.get("coins") != resolved:
+            print(
+                f"[labels] WARNING: cache {save_dir} was extracted with "
+                f"coins={prev.get('coins')!r} but this run uses "
+                f"coins={resolved!r}; cached and fresh labels mix MC streams "
+                f"(both valid estimates, but the cache is no longer "
+                f"single-mode reproducible)"
+            )
+        return
+    with open(meta_path, "w") as f:
+        json.dump({"coins": resolved, "note": (
+            "resolved RNG mode used for cache-miss label extraction; "
+            "rbg16 draws depend on miss-batch composition and XLA build "
+            "(reruns regenerate different valid MC streams), bits16 is "
+            "key-exact reproducible"
+        )}, f, indent=2)
 
 
 def _write_labels(save_dir, graph_name, seed_nodes, beta, gamma, triple):
@@ -155,6 +194,8 @@ def load_or_extract_labels_many(
         else:
             missing.append(j)
     if missing:
+        if save_dir is not None:
+            _record_coin_mode(save_dir, coins)
         if sims_chunk is not None:
             # huge-graph regime: per-trial sims chunking, no trial batching
             from gn_ode_sir_tpu.sim import simulate_sir

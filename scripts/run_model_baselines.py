@@ -23,8 +23,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
-    from gn_ode_sir_tpu.cli import monitorer
+    from gn_ode_sir_tpu.cli import apply_data_root_default, monitorer
 
+    apply_data_root_default()
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", required=True,
                     help="graph stem (e.g. wiki-vote) or full path")
