@@ -377,10 +377,8 @@ def run_multigraph(args):
     from gn_ode_sir_tpu.train import (
         assemble_multigraph_trials,
         fit,
-        multigraph_adj_fns,
-        multigraph_pallas2_fns,
+        multigraph_auto_fns,
         multigraph_split,
-        resolve_mg_kind,
     )
     from gn_ode_sir_tpu.utils.config import ExperimentConfig
     from gn_ode_sir_tpu.utils.csvsink import save_trial_to_csv
@@ -493,28 +491,18 @@ def run_multigraph(args):
                                     penultimate_dim=max(args.hidden // 2, 1),
                                     window=args.maxTime))
 
-    kind = args.mg_adj
-    if kind == "auto":
-        kind = resolve_mg_kind(batch, gcn_normalized=gcn_norm)
-    eval_adj_fn = None
-    batch_by_graph = False
-    if kind == "pallas2":
-        # stacked per-graph chunk plans + graph-homogeneous batches: the
-        # large-scale multigraph path (unseen-enron ngraphs protocol)
-        adj_fn, eval_adj_fn, node_mask_fn, adj_aux = multigraph_pallas2_fns(
-            batch, gcn_normalized=gcn_norm, eval_graph=-1)
-        batch_by_graph = True
-    else:
-        adj_fn, node_mask_fn, adj_aux = multigraph_adj_fns(
-            batch, gcn_normalized=gcn_norm, kind=kind)
-    print(f"multigraph adjacency backend: {kind}")
+    # zero-config backend dispatch (dense / coo / stacked-pallas2 +
+    # grouped batches above the dense limit) — same path library users get
+    conn = multigraph_auto_fns(
+        batch, gcn_normalized=gcn_norm, eval_graph=-1, kind=args.mg_adj)
+    print(f"multigraph adjacency backend: {conn.kind}")
 
     params = model.init(jax.random.PRNGKey(args.init_seed))
     res = fit(
-        model, optax.adam(args.lr), params, data, tr, va, te, adj_fn,
-        adj_aux=adj_aux, eval_adj_fn=eval_adj_fn, batch_by_graph=batch_by_graph,
+        model, optax.adam(args.lr), params, data, tr, va, te,
+        **conn.fit_kwargs(),
         epochs=args.epochs, batch_size=args.batch_size, seed=args.init_seed,
-        node_mask_fn=node_mask_fn, eval_batch_size=args.eval_batch_size,
+        eval_batch_size=args.eval_batch_size,
         verbose=True, log_every=args.log_every,
         metrics_logger=_fault_injector(args),
         checkpoint_dir=(

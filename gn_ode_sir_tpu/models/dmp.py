@@ -126,12 +126,22 @@ class DMPSIR:
             n_nodes=graph.n_nodes,
         )
 
-    def run(self, seed_nodes, beta: float, gamma: float, max_time: int = 20):
-        """Marginals [max_time, n_nodes, 3] (S, I, R), starting at t=0."""
+    def run(self, seed_nodes, beta, gamma, max_time: int = 20):
+        """Marginals [max_time, n_nodes, 3] (S, I, R), starting at t=0.
+
+        ``beta`` is a scalar transmission probability or a per-edge weight
+        array [E] (aligned with ``src``/``dst``); ``gamma`` is a scalar
+        recovery probability or a per-node array [n_nodes] — full parity
+        with the reference's heterogeneous ``DMP_SIR(weight_adj,
+        nodes_gamma)`` surface (``dmp.py:163-170``). The recursion itself is
+        already heterogeneous; this only widens the public conversion.
+        """
         seeds = jnp.zeros(self.n_nodes, jnp.float32).at[jnp.asarray(seed_nodes)].set(1.0)
         E = self.src.shape[0]
-        w = jnp.full((E,), beta, jnp.float32)
-        g = jnp.full((self.n_nodes,), gamma, jnp.float32)
+        beta = jnp.asarray(beta, jnp.float32)
+        gamma = jnp.asarray(gamma, jnp.float32)
+        w = jnp.broadcast_to(beta, (E,))
+        g = jnp.broadcast_to(gamma, (self.n_nodes,))
         return _dmp_run(
             jnp.asarray(self.src),
             jnp.asarray(self.dst),

@@ -8,7 +8,8 @@ Replaces the reference's external native dependencies (torch-scatter CUDA
   sorted COO edge lists,
 - ``spmm_coo`` / ``spmm_dense`` / ``spmm`` — sparse matmul with an MXU dense
   path for small/mid graphs and a gather+segment-sum path for large ones,
-- ``spmm_pallas`` — a Pallas TPU kernel for the large-graph sorted-COO path,
+- ``Pallas2Adj`` (``ops.pallas_spmm2``) — the chunked Pallas TPU kernel for
+  the large-graph sorted-COO path (the measured-fastest sparse backend),
 - ``gcn_norm_edges`` — symmetric GCN normalization D^-1/2 (A+I) D^-1/2.
 """
 
@@ -21,8 +22,11 @@ from gn_ode_sir_tpu.ops.spmm import (
     spmm_coo_batched,
     spmm_dense,
 )
-from gn_ode_sir_tpu.ops.pallas_spmm import spmm_pallas, row_offsets_from_sorted_dst
-from gn_ode_sir_tpu.ops.ell import EllAdj, build_ell_buckets
+from gn_ode_sir_tpu.ops.ell import (
+    EllAdj,
+    build_ell_buckets,
+    row_offsets_from_sorted_dst,
+)
 
 __all__ = [
     "segment_sum",
@@ -32,7 +36,6 @@ __all__ = [
     "spmm_coo",
     "spmm_coo_batched",
     "spmm_dense",
-    "spmm_pallas",
     "row_offsets_from_sorted_dst",
     "gcn_norm_edges",
     "EllAdj",

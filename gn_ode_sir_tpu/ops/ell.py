@@ -30,6 +30,12 @@ def _next_pow2(x: int) -> int:
     return 1 if x <= 1 else 1 << (int(x - 1).bit_length())
 
 
+def row_offsets_from_sorted_dst(dst: np.ndarray, n_nodes: int) -> np.ndarray:
+    """CSR-style row offsets [n_nodes+1] from a dst-sorted edge list."""
+    counts = np.bincount(np.asarray(dst), minlength=n_nodes)
+    return np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+
+
 def build_ell_buckets(graph, max_buckets: int = 10):
     """Host-side bucket construction. Returns (bucket_idx_list, inv_perm).
 
@@ -40,8 +46,6 @@ def build_ell_buckets(graph, max_buckets: int = 10):
     n = graph.n_nodes
     deg = graph.degrees
     # CSR over dst-sorted edges: node u's in-neighbors are src[off[u]:off[u+1]]
-    from gn_ode_sir_tpu.ops.pallas_spmm import row_offsets_from_sorted_dst
-
     offsets = row_offsets_from_sorted_dst(graph.dst, n)
     order = np.argsort(-deg, kind="stable").astype(np.int32)  # degree desc
     ks = np.array([_next_pow2(int(deg[u])) for u in order], np.int64)

@@ -13,7 +13,8 @@ Two execution strategies, chosen by graph size:
   mid-size graphs in this workload (karate..wiki-vote).
 - **COO gather + segment-sum**: for large graphs (enron: 361k directed
   edges), rows are gathered by ``src`` and segment-summed into ``dst``
-  (sorted). A Pallas kernel for this path lives in ``pallas_spmm.py``.
+  (sorted). The chunked Pallas kernel for this path (the measured-fastest
+  large-graph backend on TPU) lives in ``pallas_spmm2.py``.
 """
 
 from __future__ import annotations

@@ -25,8 +25,10 @@ from gn_ode_sir_tpu.train.loop import (
 )
 from gn_ode_sir_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from gn_ode_sir_tpu.train.multigraph import (
+    MultigraphConnectivity,
     assemble_multigraph_trials,
     multigraph_adj_fns,
+    multigraph_auto_fns,
     multigraph_pallas2_fns,
     multigraph_split,
     resolve_mg_kind,
@@ -47,8 +49,10 @@ __all__ = [
     "make_train_epoch_fn",
     "save_checkpoint",
     "restore_checkpoint",
+    "MultigraphConnectivity",
     "assemble_multigraph_trials",
     "multigraph_adj_fns",
+    "multigraph_auto_fns",
     "multigraph_pallas2_fns",
     "multigraph_split",
     "resolve_mg_kind",

@@ -17,6 +17,8 @@ evaluation measures transfer to an UNSEEN graph.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +49,62 @@ def resolve_mg_kind(batch: GraphBatch, gcn_normalized: bool = False) -> str:
     return "coo" if jax.default_backend() == "cpu" else "pallas2"
 
 
+@dataclasses.dataclass
+class MultigraphConnectivity:
+    """Resolved multigraph connectivity, backend-agnostic.
+
+    Produced by :func:`multigraph_auto_fns`; feed straight into the training
+    engine with ``fit(model, opt, params, data, tr, va, te,
+    **conn.fit_kwargs(), ...)``. ``kind`` records the resolved backend
+    ('dense' | 'coo' | 'pallas2'); ``batch_by_graph`` is True exactly when
+    the backend needs graph-homogeneous minibatches (the stacked-Pallas2
+    plans apply one graph's chunk grid to the whole batch).
+    """
+
+    adj_fn: object
+    eval_adj_fn: object
+    node_mask_fn: object
+    aux: dict
+    batch_by_graph: bool
+    kind: str
+
+    def fit_kwargs(self) -> dict:
+        return {
+            "adj_fn": self.adj_fn,
+            "eval_adj_fn": self.eval_adj_fn,
+            "node_mask_fn": self.node_mask_fn,
+            "adj_aux": self.aux,
+            "batch_by_graph": self.batch_by_graph,
+        }
+
+
+def multigraph_auto_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
+                        eval_graph: int = -1, kind: str = "auto",
+                        **pallas_kw) -> MultigraphConnectivity:
+    """Zero-config multigraph connectivity: resolve the backend by scale and
+    platform, INCLUDING the above-dense-limit stacked-Pallas2 path.
+
+    This is the library-user mirror of the worker's ``--mg_adj auto``
+    dispatch (and of the reference's zero-config model dispatch,
+    ``monitorer-ngraphs.py:25-30``): below the dense HBM limit it returns the
+    [G, n, n] MXU gather; above it, TPU gets the chunked Pallas plans plus
+    grouped batches — no ValueError, no backend-specific calling convention
+    to learn. ``pallas_kw`` (``k_edges``, ``r_rows``, ``precision``,
+    ``interpret``) reaches :func:`multigraph_pallas2_fns` when that backend
+    is selected.
+    """
+    if kind == "auto":
+        kind = resolve_mg_kind(batch, gcn_normalized=gcn_normalized)
+    if kind == "pallas2":
+        tr_fn, ev_fn, mask_fn, aux = multigraph_pallas2_fns(
+            batch, gcn_normalized=gcn_normalized, eval_graph=eval_graph,
+            **pallas_kw)
+        return MultigraphConnectivity(tr_fn, ev_fn, mask_fn, aux, True, kind)
+    adj_fn, mask_fn, aux = multigraph_adj_fns(
+        batch, gcn_normalized=gcn_normalized, kind=kind)
+    return MultigraphConnectivity(adj_fn, adj_fn, mask_fn, aux, False, kind)
+
+
 def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False,
                        kind: str = "auto"):
     """(adj_fn, node_mask_fn, adj_aux) for :func:`gn_ode_sir_tpu.train.fit`.
@@ -65,12 +123,14 @@ def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False,
     if kind == "auto":
         kind = resolve_mg_kind(batch, gcn_normalized=gcn_normalized)
         if kind == "pallas2":
-            # the fast over-limit backend has a different calling convention
-            # (graph-homogeneous batches, separate train/eval adj_fns) — fail
-            # loudly rather than silently serving the measured-slowest COO
+            # this 3-tuple API can't carry the fast over-limit backend's
+            # calling convention (separate eval adj_fn + grouped batches) —
+            # point at the uniform auto API rather than silently serving the
+            # measured-slowest COO
             raise ValueError(
                 "auto resolved to the stacked-Pallas2 backend for this batch "
-                "size; call multigraph_pallas2_fns(batch, ...) with "
+                "size; use multigraph_auto_fns(batch, ...) (uniform API, "
+                "handles it) or multigraph_pallas2_fns(batch, ...) with "
                 "fit(batch_by_graph=True), or pass kind='coo'/'dense' "
                 "explicitly to keep heterogeneous batching"
             )

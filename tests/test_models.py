@@ -211,6 +211,42 @@ def test_dmp_matches_mc_on_tree():
     np.testing.assert_allclose(m.sum(-1), 1.0, atol=1e-4)
 
 
+def test_dmp_heterogeneous_parameters():
+    """DMPSIR.run accepts per-edge weights / per-node gamma (reference
+    ``DMP_SIR(weight_adj, nodes_gamma)`` surface, ``dmp.py:163-170``)."""
+    import networkx as nx
+
+    from gn_ode_sir_tpu.graphs.graph import graph_from_networkx
+
+    G = nx.balanced_tree(2, 3)  # 15-node binary tree, root 0
+    g = graph_from_networkx(G, name="tree-het")
+    dmp = DMPSIR.from_graph(g)
+    E, n = g.src.shape[0], g.n_nodes
+
+    # constant arrays reproduce the scalar path bit-for-bit
+    m_scalar = np.asarray(dmp.run([0], 0.35, 0.15, max_time=12))
+    m_array = np.asarray(dmp.run(
+        [0], np.full(E, 0.35, np.float32), np.full(n, 0.15, np.float32),
+        max_time=12))
+    np.testing.assert_array_equal(m_scalar, m_array)
+
+    # zero-weight edges block transmission: cut node 2's subtree off
+    sub = {2} | set(nx.descendants(nx.bfs_tree(G, 0), 2))
+    w = np.full(E, 0.35, np.float32)
+    w[[k for k in range(E) if g.src[k] in sub or g.dst[k] in sub]] = 0.0
+    m_cut = np.asarray(dmp.run([0], w, 0.15, max_time=12))
+    np.testing.assert_allclose(m_cut[:, sorted(sub), 0], 1.0, atol=1e-6)
+    # the un-cut subtree still gets infected
+    assert m_cut[-1, 1, 0] < 0.9
+    np.testing.assert_allclose(m_cut.sum(-1), 1.0, atol=1e-4)
+
+    # per-node gamma: symmetric twins under the root, one recovers faster
+    gam = np.full(n, 0.1, np.float32)
+    gam[1] = 0.9  # node 1 and node 2 are symmetric children of the root
+    m_het = np.asarray(dmp.run([0], 0.35, gam, max_time=12))
+    assert m_het[-1, 1, 2] > m_het[-1, 2, 2]  # higher gamma -> more recovered
+
+
 def test_dmp_cave_index():
     from gn_ode_sir_tpu.models import cave_index
 

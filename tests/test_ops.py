@@ -17,7 +17,6 @@ from gn_ode_sir_tpu.ops import (
     spmm_coo,
     spmm_coo_batched,
     spmm_dense,
-    spmm_pallas,
 )
 from gn_ode_sir_tpu.ops.adjacency import CooAdj, DenseAdj, adjacency_from_graph
 
@@ -80,15 +79,6 @@ def test_gcn_norm_edges(random_graph):
     expect = a_norm @ x
     got = spmm_coo(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(x), g.n_nodes, jnp.asarray(w))
     np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-4, atol=1e-4)
-
-
-def test_pallas_spmm_interpret(random_graph):
-    g = random_graph
-    rng = np.random.default_rng(5)
-    x = rng.standard_normal((g.n_nodes, 8)).astype(np.float32)
-    ref = spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), jnp.asarray(x), g.n_nodes)
-    out = spmm_pallas(g.src, g.dst, x, g.n_nodes, block_rows=8, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
 def test_ell_adjacency_exact(random_graph):
