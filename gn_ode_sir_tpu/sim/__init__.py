@@ -13,6 +13,7 @@ from gn_ode_sir_tpu.sim.mc_sir import (
     simulate_sir_counts_many,
     simulate_sir_many,
     simulate_sir_per_sim,
+    sir_per_sim_stats,
 )
 from gn_ode_sir_tpu.sim.classical import sir_classical, sir_classical_batch, sir_field
 
@@ -22,6 +23,7 @@ __all__ = [
     "simulate_sir_counts_many",
     "simulate_sir_many",
     "simulate_sir_per_sim",
+    "sir_per_sim_stats",
     "sir_classical",
     "sir_field",
     "sir_classical_batch",

@@ -246,12 +246,15 @@ def _expand_ir_sums(ir_sums, sims: int) -> np.ndarray:
     return np.stack([s, arr[:, 0], arr[:, 1]], axis=1)
 
 
-@partial(jax.jit, static_argnames=("sims", "max_time", "coins"))
+@partial(jax.jit, static_argnames=("sims", "max_time", "coins", "state_i8"))
 def _simulate_chunk_per_sim(a_mm, seeds_mask, beta, gamma, key, *, sims: int,
-                            max_time: int, coins: str = "bits16"):
+                            max_time: int, coins: str = "bits16",
+                            state_i8: bool = False):
     """Per-simulation indicator trajectories, [3, T, sims, n] uint8."""
-    i0, r0 = _init_state(seeds_mask, sims)
-    log1m_beta = jnp.log1p(-beta)
+    i0, r0 = _init_state(
+        seeds_mask, sims, jnp.int8 if state_i8 else jnp.float32
+    )
+    log1m_beta = jnp.log1p(-jnp.float32(beta))
     gamma = jnp.float32(gamma)
 
     def step(carry, t):
@@ -468,28 +471,68 @@ def simulate_sir_per_sim(
     sims: int = 1000,
     max_time: int = 20,
     key=None,
+    sims_chunk: int | None = None,
     coins: str = "auto",
+    matmul: str = "auto",
 ):
     """Per-simulation indicator trajectories (S, I, R), each [sims, T, n] uint8.
 
     The reference's ``sir_pandas`` keeps full per-sim indicator tensors
     (``ode_nn.py:104-106``) enabling variance/quantile analyses over
-    simulations; :func:`simulate_sir_counts` only keeps running sums. This is
-    the opt-in full-trajectory path — memory is sims*T*n bytes per channel,
-    so chunk externally for very large graphs.
+    simulations (see :func:`sir_per_sim_stats`); :func:`simulate_sir_counts`
+    only keeps running sums. Same knob surface as the counts path — ``coins``
+    (rbg16/bits16/...), ``matmul`` (int8 MXU counts with the int8 state
+    carry, bit-identical to bf16), ``sims_chunk`` (bounds the device-resident
+    [sims_chunk, T, n] working set; chunks concatenate on the host, drawing
+    the same per-chunk streams as the chunked counts path). The host-side
+    tensor is still sims*T*n bytes per channel — at enron scale that is the
+    binding constraint, exactly as it is for the reference's ``sir_pandas``.
     """
     coins = _resolve_coins(coins)
     key = jax.random.PRNGKey(0) if key is None else _raw_key(key)
-    a = _device_adjacency(graph, jnp.bfloat16)
+    if matmul == "auto":
+        matmul = "bf16" if jax.default_backend() == "cpu" else "int8"
+    state_i8 = matmul == "int8" and coins != "pallas"
+    a = _device_adjacency(graph, jnp.int8 if matmul == "int8" else jnp.bfloat16)
     seeds_mask = np.zeros(graph.n_nodes, np.float32)
     seeds_mask[np.asarray(seed_nodes)] = 1.0
-    states = _simulate_chunk_per_sim(
-        a, jnp.asarray(seeds_mask), float(beta), float(gamma), key,
-        sims=sims, max_time=max_time, coins=coins,
-    )
-    states = np.asarray(states)  # [3, T, sims, n]
+    seeds_mask = jnp.asarray(seeds_mask)
+
+    def one_chunk(k, c):
+        states = _simulate_chunk_per_sim(
+            a, seeds_mask, float(beta), float(gamma), k,
+            sims=c, max_time=max_time, coins=coins, state_i8=state_i8,
+        )
+        return np.asarray(states)  # [3, T, c, n]
+
+    if sims_chunk is None or sims_chunk >= sims:
+        states = one_chunk(key, sims)
+    else:
+        parts = []
+        done, chunk_id = 0, 0
+        while done < sims:
+            c = min(sims_chunk, sims - done)
+            # same per-chunk key schedule as the chunked counts path, so a
+            # chunked per-sim run aggregates to the chunked counts run
+            parts.append(one_chunk(jax.random.fold_in(key, 1000 + chunk_id), c))
+            done += c
+            chunk_id += 1
+        states = np.concatenate(parts, axis=2)
     s, i, r = states[0], states[1], states[2]
     return s.transpose(1, 0, 2), i.transpose(1, 0, 2), r.transpose(1, 0, 2)
+
+
+def sir_per_sim_stats(s, i, r):
+    """Across-simulation statistics from per-sim indicator tensors.
+
+    The analysis companion to :func:`simulate_sir_per_sim`, covering the
+    reference's ``sir_pandas`` use case (``ode_nn.py:104-106``: per-sim
+    tensors kept so callers can study run-to-run variability, not just the
+    mean field). Returns ``{"mean": [3, T, n], "std": [3, T, n]}`` where
+    axis 0 is (S, I, R); ``std`` is the Bernoulli per-node std over sims.
+    """
+    st = np.stack([np.asarray(x, np.float64) for x in (s, i, r)])  # [3,S,T,n]
+    return {"mean": st.mean(axis=1), "std": st.std(axis=1)}
 
 
 def simulate_sir(
