@@ -1,0 +1,186 @@
+"""Probe: where the enron multigraph train epoch (~3.77 s r3) spends time.
+
+The one hot path without a published breakdown (VERDICT r3 weak #6). The
+epoch is 23 grouped steps at batch 8; each GNODE step runs euler over
+maxTime/deltaT = 40 f-evals, each f-eval one stacked-Pallas2 SpMM pass whose
+kernel grid traverses the batch graph's chunk plan. This decomposes:
+
+1. whole train epoch (best-of-3) — the number to cut;
+2. kernel floor: the same count of stacked-plan matvecs (23 x 40), chained
+   inside one jitted scan at the same message width (batch*hidden), per
+   train graph in its epoch proportion — time attributable to SpMM grid
+   traversals alone;
+3. levers: bf16 kernel messages (plan precision knob), batch size 8/16/24
+   (bigger grouped batches = fewer grid passes per epoch; NOTE batch size
+   is part of the training protocol — this measures throughput headroom,
+   not a drop-in default change);
+4. eval share: one unseen-graph eval pass (runs every epoch in fit()).
+
+epoch - kernel_floor ~= solver + encode/decode + loss/opt overhead. If the
+floor dominates, the epoch is gather/dispatch-bound like the other two hot
+paths (RESULTS.md roofline table) and the lever is the kernel itself.
+
+Run ON TPU (one chip — nothing else running):
+  nohup python -u scripts/probe_mg_epoch.py > /tmp/probe_mg_epoch.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+DATASET = ("/root/reference/real_graphs/"
+           "dolphins+fb-food+fb-social+openflights+wiki-vote+enron")
+RUN_DIR = "runs_r3/ngraphs_enron"
+COUNTS = [36, 36, 36, 36, 36, 120]
+HIDDEN = 8
+F_EVALS = 40  # euler over maxTime/deltaT
+
+
+def _load_trials(names):
+    per_graph = []
+    label_dirs = [os.path.join(RUN_DIR, f"Experiments-seed2-{n}") for n in names]
+    for g_i, d in enumerate(label_dirs):
+        with open(os.path.join(d, "initial-seed.pkl"), "rb") as f:
+            ii = pickle.load(f)
+        with open(os.path.join(d, "initial-beta.pkl"), "rb") as f:
+            bb = pickle.load(f)
+        with open(os.path.join(d, "initial-gamma.pkl"), "rb") as f:
+            gg = pickle.load(f)
+        per_graph.append([(list(ii[k]), float(bb[k]), float(gg[k]))
+                          for k in range(COUNTS[g_i])])
+    return per_graph, label_dirs
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gn_ode_sir_tpu.graphs import load_graphs
+    from gn_ode_sir_tpu.models import GNODE
+    from gn_ode_sir_tpu.train import (
+        assemble_multigraph_trials,
+        multigraph_pallas2_fns,
+        multigraph_split,
+    )
+    from gn_ode_sir_tpu.train.data import epoch_batches_grouped
+    from gn_ode_sir_tpu.train.loop import (
+        _data_to_device,
+        make_eval_fn,
+        make_train_epoch_fn,
+    )
+
+    graphs = load_graphs(DATASET)
+    names = [g.name for g in graphs]
+    per_graph, label_dirs = _load_trials(names)
+    batch, data = assemble_multigraph_trials(
+        graphs, per_graph, label_dirs=label_dirs, sim=10000, max_time=20,
+        rng_key=jax.random.PRNGKey(0),
+    )
+    print(f"padded to n={batch.n_max}, e={batch.e_max}", flush=True)
+    tr, va, _ = multigraph_split(COUNTS)
+    model = GNODE(hidden=HIDDEN)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-3)
+    results = {}
+
+    def time_epoch(precision, bs, tag):
+        adj_fn, eval_adj_fn, node_mask_fn, adj_aux = multigraph_pallas2_fns(
+            batch, precision=precision)
+        d = _data_to_device(data)
+        d["__adj_aux__"] = jax.tree_util.tree_map(jnp.asarray, adj_aux)
+        opt_state = optimizer.init(params)
+        train_epoch = make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn)
+        bi, bw = epoch_batches_grouped(tr, data.graph_idx, bs,
+                                       np.random.default_rng(0))
+        key = jax.random.PRNGKey(1)
+
+        def run():
+            p, o, loss = train_epoch(params, opt_state, d, bi, bw, key)
+            return float(np.asarray(loss))
+
+        t0 = time.perf_counter()
+        run()
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        results[tag] = {"epoch_s": best, "steps": int(bi.shape[0]),
+                        "batch": bs, "precision": precision,
+                        "compile_s": compile_s}
+        print(f"{tag}: {bi.shape[0]} steps @ batch {bs} prec={precision}: "
+              f"{best:.3f}s (compile {compile_s:.0f}s)", flush=True)
+        return adj_fn, eval_adj_fn, node_mask_fn, d, bi
+
+    adj_fn, eval_adj_fn, node_mask_fn, d, bi = time_epoch("f32", 8, "epoch_f32_b8")
+
+    # kernel floor: same matvec count/widths as the f32 b8 epoch, nothing
+    # else. Steps group by graph; count steps per train graph from bi's rows.
+    gi_rows = np.asarray(data.graph_idx)[np.asarray(bi[:, 0])]
+    aux = d["__adj_aux__"]
+    floor_total = 0.0
+    for g_i in sorted(set(int(g) for g in gi_rows)):
+        n_steps = int((gi_rows == g_i).sum())
+        chain = n_steps * F_EVALS
+        adj = adj_fn(jnp.full((8,), g_i, jnp.int32), aux)
+        x0 = jnp.asarray(
+            np.random.default_rng(0).random((8, batch.n_max, HIDDEN)),
+            jnp.float32)
+
+        @jax.jit
+        def run_chain(x):
+            def body(y, _):
+                y = adj.matvec(y)
+                return y / (jnp.abs(y).max() + 1e-6), None
+            y, _ = jax.lax.scan(body, x, None, length=chain)
+            return y
+
+        float(np.asarray(run_chain(x0)).sum())  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(run_chain(x0)).sum())
+            best = min(best, time.perf_counter() - t0)
+        floor_total += best
+        print(f"  kernel floor graph {g_i} ({names[g_i]}): {n_steps} steps "
+              f"x {F_EVALS} matvecs = {chain}: {best:.3f}s", flush=True)
+    results["kernel_floor_s"] = floor_total
+    print(f"kernel floor total: {floor_total:.3f}s "
+          f"({100 * floor_total / results['epoch_f32_b8']['epoch_s']:.0f}% "
+          f"of epoch)", flush=True)
+
+    # levers
+    time_epoch("bf16", 8, "epoch_bf16_b8")
+    time_epoch("f32", 16, "epoch_f32_b16")
+    time_epoch("f32", 24, "epoch_f32_b24")
+
+    # eval share (runs every epoch in fit): 60 val trials on the unseen graph
+    evaluate = make_eval_fn(model, eval_adj_fn, node_mask_fn)
+    val_bi, val_bw = epoch_batches_grouped(va, data.graph_idx, 60, None)
+    float(evaluate(params, d, val_bi, val_bw))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(evaluate(params, d, val_bi, val_bw))
+        best = min(best, time.perf_counter() - t0)
+    results["eval_pass_s"] = best
+    print(f"eval pass (60 unseen-graph trials, 1 batch): {best:.3f}s", flush=True)
+
+    os.makedirs("runs_r4", exist_ok=True)
+    with open("runs_r4/probe_mg_epoch.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote runs_r4/probe_mg_epoch.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
