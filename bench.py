@@ -458,18 +458,28 @@ def _main_with_retries() -> int:
     exits nonzero by itself when the backend is unavailable); nothing
     here kills a TPU client — a wedged claim recovers on its own and
     killing the client extends the wedge (CLAUDE.md)."""
+    import signal
+
     retries = int(os.environ.get("GN_BENCH_RETRIES", "4"))
     wait_s = float(os.environ.get("GN_BENCH_RETRY_WAIT", "300"))
     for attempt in range(1, retries + 1):
-        proc = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--once"],
-            capture_output=True, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
+        # If an outer `timeout`/driver SIGTERMs this wrapper, pass a plain
+        # SIGTERM (never SIGKILL — CLAUDE.md) to the child instead of
+        # orphaning a live TPU client that would silently hold the chip.
+        prev = signal.signal(signal.SIGTERM, lambda *_: proc.terminate())
+        try:
+            out, err = proc.communicate()
+        finally:
+            signal.signal(signal.SIGTERM, prev)
         if proc.returncode == 0:
-            sys.stdout.write(proc.stdout)
-            sys.stderr.write(proc.stderr[-2000:])
+            sys.stdout.write(out)
+            sys.stderr.write(err[-2000:])
             return 0
-        tail = (proc.stdout + proc.stderr)[-6000:]
+        tail = (out + err)[-6000:]
         retryable = any(pat in tail for pat in _RETRYABLE)
         print(
             f"[bench] attempt {attempt}/{retries} rc={proc.returncode} "

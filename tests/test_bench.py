@@ -1,0 +1,80 @@
+"""bench.py driver-robustness tests (no device work — the measurement runs
+in a child process; these exercise the retry wrapper that keeps a transient
+axon-tunnel outage from turning the round's benchmark into a failure
+artifact, the exact failure recorded in BENCH_r03.json)."""
+
+import importlib.util
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _Proc:
+    def __init__(self, rc, out, err):
+        self.returncode, self._out, self._err = rc, out, err
+
+    def communicate(self):
+        return self._out, self._err
+
+    def terminate(self):
+        pass
+
+
+def test_success_forwards_child_stdout(bench, monkeypatch, capsys):
+    monkeypatch.setattr(subprocess, "Popen",
+                        lambda *a, **k: _Proc(0, '{"metric":"m","value":1}\n', ""))
+    assert bench._main_with_retries() == 0
+    assert capsys.readouterr().out == '{"metric":"m","value":1}\n'
+
+
+def test_retries_transient_unavailable_then_succeeds(bench, monkeypatch, capsys):
+    calls = []
+
+    def fake_popen(*a, **k):
+        calls.append(1)
+        if len(calls) < 3:
+            return _Proc(1, "", "RuntimeError: Unable to initialize backend "
+                                "'axon': UNAVAILABLE")
+        return _Proc(0, '{"metric":"m","value":2}\n', "")
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    monkeypatch.setenv("GN_BENCH_RETRIES", "4")
+    monkeypatch.setenv("GN_BENCH_RETRY_WAIT", "0")
+    assert bench._main_with_retries() == 0
+    assert len(calls) == 3
+    assert '{"metric":"m","value":2}' in capsys.readouterr().out
+
+
+def test_nonretryable_failure_fails_fast(bench, monkeypatch):
+    calls = []
+
+    def fake_popen(*a, **k):
+        calls.append(1)
+        return _Proc(1, "", "ImportError: no such module")
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    monkeypatch.setenv("GN_BENCH_RETRIES", "4")
+    monkeypatch.setenv("GN_BENCH_RETRY_WAIT", "0")
+    assert bench._main_with_retries() == 1
+    assert len(calls) == 1  # no pointless 25-min probe retries
+
+
+def test_retry_budget_exhausts_with_child_rc(bench, monkeypatch):
+    monkeypatch.setattr(subprocess, "Popen",
+                        lambda *a, **k: _Proc(7, "", "UNAVAILABLE"))
+    monkeypatch.setenv("GN_BENCH_RETRIES", "2")
+    monkeypatch.setenv("GN_BENCH_RETRY_WAIT", "0")
+    assert bench._main_with_retries() == 7
