@@ -452,6 +452,17 @@ _RETRYABLE = (
 )
 
 
+def _pump(src, dst, buf):
+    """Stream a child pipe through live (so `tail -f` on a nohup log shows
+    progress — TPU compiles/stalls look like hangs, CLAUDE.md) while keeping
+    a copy for the retry-eligibility check."""
+    for line in iter(src.readline, ""):
+        dst.write(line)
+        dst.flush()
+        buf.append(line)
+    src.close()
+
+
 def _main_with_retries() -> int:
     """Run the measurement in a child process, retrying transient TPU
     outages with backoff. The child is its own availability probe (it
@@ -459,37 +470,64 @@ def _main_with_retries() -> int:
     here kills a TPU client — a wedged claim recovers on its own and
     killing the client extends the wedge (CLAUDE.md)."""
     import signal
+    import threading
 
     retries = int(os.environ.get("GN_BENCH_RETRIES", "4"))
     wait_s = float(os.environ.get("GN_BENCH_RETRY_WAIT", "300"))
-    for attempt in range(1, retries + 1):
-        proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--once"],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        )
-        # If an outer `timeout`/driver SIGTERMs this wrapper, pass a plain
-        # SIGTERM (never SIGKILL — CLAUDE.md) to the child instead of
-        # orphaning a live TPU client that would silently hold the chip.
-        prev = signal.signal(signal.SIGTERM, lambda *_: proc.terminate())
-        try:
-            out, err = proc.communicate()
-        finally:
-            signal.signal(signal.SIGTERM, prev)
-        if proc.returncode == 0:
-            sys.stdout.write(out)
-            sys.stderr.write(err[-2000:])
-            return 0
-        tail = (out + err)[-6000:]
-        retryable = any(pat in tail for pat in _RETRYABLE)
-        print(
-            f"[bench] attempt {attempt}/{retries} rc={proc.returncode} "
-            f"retryable={retryable}", file=sys.stderr,
-        )
-        sys.stderr.write(tail[-2000:] + "\n")
-        if not retryable or attempt == retries:
-            return proc.returncode or 1
-        time.sleep(wait_s)
-    return 1
+
+    # If an outer `timeout`/driver SIGTERMs this wrapper, pass a plain
+    # SIGTERM (never SIGKILL — CLAUDE.md) to the live child instead of
+    # orphaning a TPU client that would silently hold the chip, and STOP
+    # retrying. Installed before the first spawn so no delivery window can
+    # hit the default disposition while a child is alive.
+    state = {"proc": None, "stop": False}
+
+    def _on_term(*_):
+        state["stop"] = True
+        if state["proc"] is not None:
+            state["proc"].terminate()
+
+    prev = signal.signal(signal.SIGTERM, _on_term)
+    try:
+        for attempt in range(1, retries + 1):
+            if state["stop"]:
+                return 143
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--once"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            state["proc"] = proc
+            out_buf: list = []
+            err_buf: list = []
+            threads = [
+                threading.Thread(target=_pump,
+                                 args=(proc.stdout, sys.stdout, out_buf)),
+                threading.Thread(target=_pump,
+                                 args=(proc.stderr, sys.stderr, err_buf)),
+            ]
+            for t in threads:
+                t.start()
+            proc.wait()
+            for t in threads:
+                t.join()
+            state["proc"] = None
+            if proc.returncode == 0:
+                return 0
+            if state["stop"]:
+                # forwarded termination — do NOT spawn another TPU client
+                return proc.returncode or 143
+            tail = ("".join(out_buf) + "".join(err_buf))[-6000:]
+            retryable = any(pat in tail for pat in _RETRYABLE)
+            print(
+                f"[bench] attempt {attempt}/{retries} rc={proc.returncode} "
+                f"retryable={retryable}", file=sys.stderr,
+            )
+            if not retryable or attempt == retries:
+                return proc.returncode or 1
+            time.sleep(wait_s)
+        return 1
+    finally:
+        signal.signal(signal.SIGTERM, prev)
 
 
 if __name__ == "__main__":

@@ -107,6 +107,22 @@ def build_worker_argv(cfg: MatrixConfig, dataset, path_to_save, hidden, trial,
     return argv
 
 
+def _newest_mtime(root: str):
+    """Newest file mtime under ``root`` (None when absent/empty) — how the
+    retry loop tells a checkpoint written by this job's earlier attempt from
+    one left behind by a previous run."""
+    newest = None
+    if os.path.isdir(root):
+        for r, _, files in os.walk(root):
+            for f in files:
+                try:
+                    m = os.path.getmtime(os.path.join(r, f))
+                except OSError:
+                    continue
+                newest = m if newest is None else max(newest, m)
+    return newest
+
+
 def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False,
                retries: int = 0, retry_wait_s: float = 300.0) -> int:
     from gn_ode_sir_tpu.cli import worker
@@ -168,14 +184,21 @@ def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False,
         ) + list(extra)
         print(f"[MONITORER] Started experiment {proc_num}/{total}: model={cfg.model} "
               f"dataset={stem} hidden={hidden}")
+        ckpt_dir = worker.checkpoint_dir_for(path_to_save, trial, cfg.model, dataset)
+        ckpt_before = _newest_mtime(ckpt_dir)
         for attempt in range(retries + 1):
-            # Retry attempts resume from the worker's periodic checkpoint
-            # rather than restarting at epoch 0: --resume is a no-op when
-            # no checkpoint was written yet (fit() only restores what
-            # exists), so appending it is always safe.
+            # Retry attempts resume from THIS job's periodic checkpoint
+            # rather than restarting at epoch 0 — but only if an attempt of
+            # this job actually wrote one. A checkpoint that predates the
+            # job (e.g. a COMPLETED prior run of the same trial in the same
+            # path_to_save) must NOT be resumed: fit() would restore it at
+            # epoch==epochs, train zero epochs, and write the old run's
+            # result as this repeat's CSV row.
             attempt_argv = list(argv)
             if attempt > 0 and "--resume" not in attempt_argv:
-                attempt_argv.append("--resume")
+                now = _newest_mtime(ckpt_dir)
+                if now is not None and (ckpt_before is None or now > ckpt_before):
+                    attempt_argv.append("--resume")
             try:
                 if use_subprocess:
                     import subprocess

@@ -32,6 +32,18 @@ def parse_i_indices(raw) -> list[list[int]]:
     return out
 
 
+def checkpoint_dir_for(path_to_save: str, trial, model: str, dataset: str) -> str:
+    """The Orbax checkpoint directory a worker run with these arguments
+    uses. Shared with the monitorer's retry logic, which needs to know
+    whether a checkpoint predates the current run (a pre-existing COMPLETED
+    checkpoint must not be silently resumed as a fresh repeat's result)."""
+    stem = os.path.basename(dataset)
+    if "+" in stem:
+        names = "-".join(stem.split("+"))
+        return os.path.join(path_to_save, f"ckpt-trial{trial}-{model}-mg-{names}")
+    return os.path.join(path_to_save, f"ckpt-trial{trial}-{model}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native GN-ODE SIR experiment worker")
     p.add_argument("--lr", type=float, default=1e-2)
@@ -300,7 +312,8 @@ def run_trainable(args, g, data, splits):
         log_every=args.log_every,
         metrics_logger=_fault_injector(args),
         checkpoint_dir=(
-            os.path.join(args.path_to_save, f"ckpt-trial{args.trial}-{args.model}")
+            checkpoint_dir_for(args.path_to_save, args.trial, args.model,
+                               args.dataset)
             if (args.checkpoint_every or args.resume or args.auto_checkpoint)
             else None
         ),
@@ -509,10 +522,8 @@ def run_multigraph(args):
             # dataset names in the path: '+' datasets share path_to_save, so
             # a names-free dir would collide across multigraph runs and a
             # later --resume could silently restore another dataset's params
-            os.path.join(
-                args.path_to_save,
-                f"ckpt-trial{args.trial}-{args.model}-mg-{'-'.join(names)}",
-            )
+            checkpoint_dir_for(args.path_to_save, args.trial, args.model,
+                               args.dataset)
             if (args.checkpoint_every or args.resume or args.auto_checkpoint)
             else None
         ),

@@ -530,9 +530,16 @@ def sir_per_sim_stats(s, i, r):
     tensors kept so callers can study run-to-run variability, not just the
     mean field). Returns ``{"mean": [3, T, n], "std": [3, T, n]}`` where
     axis 0 is (S, I, R); ``std`` is the Bernoulli per-node std over sims.
+
+    Reduces each uint8 channel in place (f64 accumulators, [T, n] outputs
+    only) — no float64 copy of the [sims, T, n] tensors, which at the
+    wiki-vote scales this path targets would be 8x the indicator footprint.
     """
-    st = np.stack([np.asarray(x, np.float64) for x in (s, i, r)])  # [3,S,T,n]
-    return {"mean": st.mean(axis=1), "std": st.std(axis=1)}
+    mean = np.stack([np.mean(np.asarray(x), axis=0, dtype=np.float64)
+                     for x in (s, i, r)])
+    std = np.stack([np.std(np.asarray(x), axis=0, dtype=np.float64)
+                    for x in (s, i, r)])
+    return {"mean": mean, "std": std}
 
 
 def simulate_sir(

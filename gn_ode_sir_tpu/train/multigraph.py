@@ -100,6 +100,16 @@ def multigraph_auto_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
             batch, gcn_normalized=gcn_normalized, eval_graph=eval_graph,
             **pallas_kw)
         return MultigraphConnectivity(tr_fn, ev_fn, mask_fn, aux, True, kind)
+    if pallas_kw:
+        # scale-portable callers may set kernel knobs "for when it's big";
+        # say so rather than letting them believe the knobs took effect
+        import warnings
+
+        warnings.warn(
+            f"multigraph_auto_fns resolved to the {kind!r} backend; "
+            f"Pallas-kernel options {sorted(pallas_kw)} are unused",
+            stacklevel=2,
+        )
     adj_fn, mask_fn, aux = multigraph_adj_fns(
         batch, gcn_normalized=gcn_normalized, kind=kind)
     return MultigraphConnectivity(adj_fn, adj_fn, mask_fn, aux, False, kind)

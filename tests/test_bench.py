@@ -22,12 +22,17 @@ def bench():
     return mod
 
 
+import io
+
+
 class _Proc:
     def __init__(self, rc, out, err):
-        self.returncode, self._out, self._err = rc, out, err
+        self.returncode = rc
+        self.stdout = io.StringIO(out)
+        self.stderr = io.StringIO(err)
 
-    def communicate(self):
-        return self._out, self._err
+    def wait(self):
+        return self.returncode
 
     def terminate(self):
         pass
@@ -78,3 +83,26 @@ def test_retry_budget_exhausts_with_child_rc(bench, monkeypatch):
     monkeypatch.setenv("GN_BENCH_RETRIES", "2")
     monkeypatch.setenv("GN_BENCH_RETRY_WAIT", "0")
     assert bench._main_with_retries() == 7
+
+
+def test_sigterm_stops_retry_loop(bench, monkeypatch):
+    """A forwarded SIGTERM must end the loop — never spawn another TPU
+    client after the supervisor asked the bench to die."""
+    import signal as _signal
+
+    calls = []
+
+    class P(_Proc):
+        def wait(self):
+            os.kill(os.getpid(), _signal.SIGTERM)  # signal lands mid-run
+            return self.returncode
+
+    def fake_popen(*a, **k):
+        calls.append(1)
+        return P(-15, "", "UNAVAILABLE")
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    monkeypatch.setenv("GN_BENCH_RETRIES", "4")
+    monkeypatch.setenv("GN_BENCH_RETRY_WAIT", "0")
+    assert bench._main_with_retries() == -15
+    assert len(calls) == 1

@@ -216,6 +216,66 @@ def test_monitorer_retry_transient_failure(tmp_path, capsys, monkeypatch):
     assert "0 failures" in out
 
 
+def test_monitorer_retry_resume_only_own_checkpoint(tmp_path, monkeypatch):
+    """Retry attempts append --resume ONLY when an attempt of this job wrote
+    a checkpoint. A checkpoint that predates the job (a COMPLETED earlier
+    run of the same trial in the same path_to_save) must not be resumed —
+    fit() would restore epoch==epochs, train nothing, and report the old
+    run's result as this repeat's CSV row."""
+    import os
+    import subprocess as sp
+    import time as time_mod
+
+    from gn_ode_sir_tpu.cli import worker as worker_mod
+
+    cfg = monitorer.MatrixConfig(
+        epochs=1, trials_per_number=2, hidden_dim_array=(8,),
+        datasets_array=(KARATE,), sim=100, max_time=8,
+        experiments_root=str(tmp_path), seed=5,
+    )
+    path_to_save = os.path.join(
+        str(tmp_path), f"Experiments-seed{cfg.n_i[0]}-karate")
+    ckpt_dir = worker_mod.checkpoint_dir_for(path_to_save, 1, "ode_nn", KARATE)
+
+    monkeypatch.setattr(time_mod, "sleep", lambda s: None)
+
+    # scenario A: stale pre-existing checkpoint; failing attempts write
+    # nothing -> no --resume ever
+    os.makedirs(ckpt_dir)
+    with open(os.path.join(ckpt_dir, "state"), "w") as f:
+        f.write("old run")
+    old = time_mod.time() - 3600
+    os.utime(os.path.join(ckpt_dir, "state"), (old, old))
+    argvs = []
+
+    def fail_call(argv_list, **kw):
+        argvs.append(list(argv_list))
+        return 1
+
+    monkeypatch.setattr(sp, "call", fail_call)
+    monitorer.run_matrix(cfg, retries=1, retry_wait_s=0.0)
+    assert len(argvs) == 2
+    assert all("--resume" not in a for a in argvs)
+
+    # scenario B: the first attempt of this job writes a checkpoint before
+    # dying -> the retry resumes it
+    argvs.clear()
+
+    def write_then_fail(argv_list, **kw):
+        argvs.append(list(argv_list))
+        if len(argvs) == 1:
+            with open(os.path.join(ckpt_dir, "state"), "w") as f:
+                f.write("this job")
+            return 1
+        return 0
+
+    monkeypatch.setattr(sp, "call", write_then_fail)
+    rc = monitorer.run_matrix(cfg, retries=1, retry_wait_s=0.0)
+    assert rc == 0
+    assert "--resume" not in argvs[0]
+    assert "--resume" in argvs[1]
+
+
 def test_worker_spmm_pallas2(tmp_path):
     """GNODE end-to-end on the chunked Pallas backend (interpret on CPU)."""
     rc = worker.main(_base_argv(tmp_path, "ode_nn", extra=("--spmm", "pallas2")))
