@@ -85,6 +85,38 @@ def spmm_apply_model(n_nodes: int, n_directed_edges: int, hidden: int,
     return {"ops": flops, "bytes": bytes_, "peak_key": "bf16_flops"}
 
 
+def mg_train_epoch_model(n_max: int, hidden: int, batch: int, steps_edges,
+                         n_solver_steps: int, msg_bytes: int = 4) -> dict:
+    """Multigraph GN-ODE training epoch on the sparse stacked-Pallas2
+    backend (train/multigraph.py + ops/pallas_spmm2.py).
+
+    ``steps_edges``: per train graph, ``(train_steps_this_epoch,
+    directed_edges)`` — grouped batches make every step single-graph, so the
+    epoch is a sum of per-graph terms. Per ODE f-eval on graph g:
+
+      - hidden linear on the stacked state: 2 * 3*B*n_max*h^2 FLOPs
+        (n_max, not n_g: padding rows ride through the dense linears);
+      - sparse matvec: 2 * E_g * B*h FLOPs of gather-adds — GATHER-bound
+        like :func:`spmm_apply_model`, so the bytes term carries the E_g
+        message gathers (B*h wide after batch folding) + index reads +
+        node writes, plus the [3, B, n_max, h] state in/out.
+
+    Backward ~2x forward (transpose-gather VJP; adjacency not
+    differentiated) -> 3x totals, matching the dense epoch model.
+    """
+    flops = 0.0
+    bytes_ = 0.0
+    for steps, e_g in steps_edges:
+        per_eval_flops = (2.0 * 3 * batch * n_max * hidden * hidden
+                          + 2.0 * e_g * batch * hidden)
+        per_eval_bytes = (e_g * (batch * hidden * msg_bytes + 4.0)
+                          + batch * n_max * hidden * 4.0
+                          + 2 * 4.0 * 3 * batch * n_max * hidden)
+        flops += 3.0 * n_solver_steps * per_eval_flops * steps
+        bytes_ += 3.0 * n_solver_steps * per_eval_bytes * steps
+    return {"ops": flops, "bytes": bytes_, "peak_key": "bf16_flops"}
+
+
 def utilization(model: dict, wall_s: float, peaks: dict = V5E_PEAKS) -> dict:
     """Achieved rates + fractions-of-peak for a modeled path.
 

@@ -164,6 +164,21 @@ def main():
           f"({100 * floor_total / results['epoch_f32_b8']['epoch_s']:.0f}% "
           f"of epoch)", flush=True)
 
+    # absolute utilization vs the v5e roofline (utils/roofline.py)
+    from gn_ode_sir_tpu.utils.roofline import mg_train_epoch_model, utilization
+
+    steps_edges = [
+        (int((gi_rows == g_i).sum()), len(graphs[g_i].src))
+        for g_i in sorted(set(int(g) for g in gi_rows))
+    ]
+    util = utilization(
+        mg_train_epoch_model(batch.n_max, HIDDEN, 8, steps_edges, F_EVALS),
+        results["epoch_f32_b8"]["epoch_s"],
+    )
+    results["epoch_f32_b8"]["utilization"] = util
+    print(f"epoch utilization: mfu={util['mfu']:.4f} "
+          f"hbm_frac={util['hbm_frac']:.4f}", flush=True)
+
     # levers
     time_epoch("bf16", 8, "epoch_bf16_b8")
     time_epoch("f32", 16, "epoch_f32_b16")

@@ -125,3 +125,14 @@ def test_roofline_models():
     assert s["bytes"] > s["ops"]  # gather-bound: bytes dominate flops
     u2 = utilization(s, wall_s=1.68e-3)
     assert 0 < u2["hbm_frac"] < 1
+
+    from gn_ode_sir_tpu.utils.roofline import mg_train_epoch_model
+
+    # enron-protocol shapes: 23 grouped steps split over 5 train graphs
+    g = mg_train_epoch_model(33696, 8, 8, [(5, 361_622), (18, 40_000)], 40)
+    assert g["ops"] > 0 and g["bytes"] > 0
+    # h=8 sparse path is gather/traffic-bound, not FLOP-bound
+    assert g["bytes"] > g["ops"] / 100
+    # more steps on the big graph strictly increases both terms
+    g2 = mg_train_epoch_model(33696, 8, 8, [(6, 361_622), (18, 40_000)], 40)
+    assert g2["ops"] > g["ops"] and g2["bytes"] > g["bytes"]
