@@ -60,7 +60,7 @@ def _load_trials(names):
     return per_graph, label_dirs
 
 
-def main():
+def main(smoke: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -79,11 +79,28 @@ def main():
         make_train_epoch_fn,
     )
 
-    graphs = load_graphs(DATASET)
-    names = [g.name for g in graphs]
-    per_graph, label_dirs = _load_trials(names)
+    global COUNTS
+    if smoke:
+        # tiny CPU shakedown of the whole measurement path (no TPU, no
+        # enron-scale labels): 2 small graphs, generated trials
+        COUNTS = [8, 10]
+        graphs = load_graphs("/root/reference/real_graphs/dolphins+fb-food")
+        rng = np.random.default_rng(0)
+        per_graph = [
+            [([int(x) for x in rng.choice(g.n_nodes, 2, replace=False)],
+              float(rng.uniform(0.1, 0.5)), float(rng.uniform(0.1, 0.5)))
+             for _ in range(c)]
+            for g, c in zip(graphs, COUNTS)
+        ]
+        label_dirs = None
+        names = [g.name for g in graphs]
+    else:
+        graphs = load_graphs(DATASET)
+        names = [g.name for g in graphs]
+        per_graph, label_dirs = _load_trials(names)
     batch, data = assemble_multigraph_trials(
-        graphs, per_graph, label_dirs=label_dirs, sim=10000, max_time=20,
+        graphs, per_graph, label_dirs=label_dirs,
+        sim=200 if smoke else 10000, max_time=20,
         rng_key=jax.random.PRNGKey(0),
     )
     print(f"padded to n={batch.n_max}, e={batch.e_max}", flush=True)
@@ -203,4 +220,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(smoke="--smoke" in sys.argv)
