@@ -110,6 +110,27 @@ def test_adaptive_dopri5():
     np.testing.assert_allclose(float(g_a), float(g_r), rtol=1e-3)
 
 
+def test_adaptive_tiny_budget_clamped():
+    """total_steps <= 2 is clamped to 3: force-accept needs two prior
+    rejections, so a 2-attempt budget could end with NO accepted step and
+    the Hermite fallback would gather a REJECTED trial step's endpoints —
+    the whole trajectory silently extrapolated from garbage (ADVICE r3)."""
+    from gn_ode_sir_tpu.odeint import odeint_grid_adaptive
+
+    def field(t, y, a):
+        return -a * y
+
+    y0 = jnp.asarray([1.0, 2.0])
+    ts = jnp.linspace(0.0, 1.0, 5)
+    for budget in (1, 2, 3):
+        ys = odeint_grid_adaptive(field, y0, ts, 2.0, total_steps=budget)
+        assert bool(jnp.isfinite(ys).all())
+        np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(y0))
+        # exp decay: values must stay within [0, y0] (no wild extrapolation)
+        assert float(ys.max()) <= float(y0.max()) + 1e-5
+        assert float(ys.min()) >= -1e-5
+
+
 def test_gnode_adaptive_method(random_graph):
     """GNODE with the adaptive solver stays close to a fine euler solve."""
     from gn_ode_sir_tpu.models import GNODE
