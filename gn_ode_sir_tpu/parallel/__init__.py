@@ -22,6 +22,7 @@ from gn_ode_sir_tpu.parallel.mesh import data_sharding, make_mesh, replicated_sh
 from gn_ode_sir_tpu.parallel.sim import simulate_sir_sharded
 from gn_ode_sir_tpu.parallel.spmd import (
     EdgeShardedCooAdj,
+    make_spmd_predict_fn,
     make_spmd_train_step,
     make_spmd_multigraph_train_step_2d,
     make_spmd_train_step_2d,
@@ -34,6 +35,7 @@ __all__ = [
     "data_sharding",
     "replicated_sharding",
     "simulate_sir_sharded",
+    "make_spmd_predict_fn",
     "make_spmd_train_step",
     "make_spmd_multigraph_train_step_2d",
     "make_spmd_train_step_2d",

@@ -277,3 +277,56 @@ def make_spmd_multigraph_train_step_2d(
     }
     return _build_spmd_step(model, optimizer, mesh, data_axis, connect,
                             (aux_specs,))
+
+
+def make_spmd_predict_fn(
+    model, adj_fn, mesh, axis: str = "data",
+    aux_example=None, node_mask_fn=None,
+) -> Callable:
+    """Data-parallel batched INFERENCE — the serving path.
+
+    Trials shard over ``axis``, params replicate, each device runs the whole
+    forward on its shard, and the [T, B, n, 3] trajectory comes back
+    batch-sharded (no collective needed — inference has no reduction). One
+    jitted program serves any trial batch whose leading dim divides the mesh
+    axis; this is how a production deployment scores large trial matrices
+    (e.g. epidemic what-if sweeps) without ever forming a device-crossing
+    batch. Conventions mirror :func:`make_spmd_train_step`: with
+    ``aux_example`` the call is ``predict(params, batch, aux)`` and
+    ``adj_fn``/``node_mask_fn`` take ``(graph_idx, aux)``; node masks zero
+    padded rows of multigraph outputs so downstream consumers never read
+    garbage nodes.
+    """
+
+    in_batch = {
+        k: P(axis, None) if k in ("s0", "i0", "r0") else P(axis)
+        for k in ("s0", "i0", "r0", "beta", "gamma", "graph_idx")
+    }
+
+    def local_predict(params, batch, *extra):
+        gi = batch["graph_idx"]
+        if aux_example is not None:
+            adj = adj_fn(gi, extra[0])
+            mask = None if node_mask_fn is None else node_mask_fn(gi, extra[0])
+        else:
+            adj = adj_fn(gi)
+            mask = None if node_mask_fn is None else node_mask_fn(gi)
+        pred = model.predict(
+            params, adj, batch["s0"], batch["i0"], batch["r0"],
+            batch["beta"], batch["gamma"],
+        )
+        if mask is not None:
+            pred = pred * mask[None, :, :, None]
+        return pred
+
+    extra_specs = ()
+    if aux_example is not None:
+        extra_specs = (jax.tree_util.tree_map(lambda _: P(), aux_example),)
+    sharded = jax.shard_map(
+        local_predict,
+        mesh=mesh,
+        in_specs=(P(), in_batch, *extra_specs),
+        out_specs=P(None, axis, None, None),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -425,3 +425,77 @@ def test_init_distributed_two_process_cpu():
     for k, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {k} rc={p.returncode}:\n{out}"
         assert f"DIST_OK {k}" in out
+
+
+def test_spmd_predict_matches_single_device(karate, mesh):
+    """Data-parallel inference (the serving path) returns the exact
+    single-device trajectory, batch-sharded — no collective, no drift."""
+    from gn_ode_sir_tpu.parallel import make_spmd_predict_fn
+
+    model = GNODE(hidden=8, max_time=8)
+    params = model.init(jax.random.PRNGKey(0))
+    adj = adjacency_from_graph(karate)
+    n = karate.n_nodes
+    B = 16
+    rng = np.random.default_rng(21)
+    i0 = np.zeros((B, n), np.float32)
+    for b in range(B):
+        i0[b, rng.choice(n, 2, replace=False)] = 1.0
+    batch = {
+        "s0": jnp.asarray(1.0 - i0),
+        "i0": jnp.asarray(i0),
+        "r0": jnp.zeros((B, n)),
+        "beta": jnp.asarray(rng.uniform(0.1, 0.5, B), jnp.float32),
+        "gamma": jnp.asarray(rng.uniform(0.1, 0.5, B), jnp.float32),
+        "graph_idx": jnp.zeros((B,), jnp.int32),
+    }
+    predict = make_spmd_predict_fn(model, lambda gi: adj, mesh)
+    out = predict(params, batch)
+    ref = model.predict(params, adj, batch["s0"], batch["i0"], batch["r0"],
+                        batch["beta"], batch["gamma"])
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_spmd_predict_multigraph_masks_padding(mesh):
+    """Serving-path inference over a padded multigraph batch: per-trial
+    connectivity gathered from replicated aux, padding nodes zeroed."""
+    from gn_ode_sir_tpu.graphs import load_graph, pad_graphs
+    from gn_ode_sir_tpu.parallel import make_spmd_predict_fn
+    from gn_ode_sir_tpu.train import multigraph_adj_fns
+
+    graphs = [load_graph("none", n_random=n, seed=s) for n, s in ((12, 0), (20, 1))]
+    batch_g = pad_graphs(graphs, node_multiple=4, edge_multiple=16)
+    adj_fn, mask_fn, aux = multigraph_adj_fns(batch_g, kind="coo")
+    aux = jax.tree_util.tree_map(jnp.asarray, aux)
+    model = GNODE(hidden=8, max_time=8)
+    params = model.init(jax.random.PRNGKey(1))
+    n_max = batch_g.n_max
+    B = 8
+    rng = np.random.default_rng(3)
+    gi = np.asarray([0, 1] * (B // 2), np.int32)
+    i0 = np.zeros((B, n_max), np.float32)
+    for b in range(B):
+        i0[b, rng.choice(int(batch_g.n_nodes[gi[b]]), 2, replace=False)] = 1.0
+    nm = np.asarray(batch_g.node_mask)[gi]
+    batch = {
+        "s0": jnp.asarray((1.0 - i0) * nm),
+        "i0": jnp.asarray(i0),
+        "r0": jnp.zeros((B, n_max)),
+        "beta": jnp.full((B,), 0.3),
+        "gamma": jnp.full((B,), 0.2),
+        "graph_idx": jnp.asarray(gi),
+    }
+    predict = make_spmd_predict_fn(model, adj_fn, mesh, aux_example=aux,
+                                   node_mask_fn=mask_fn)
+    out = np.asarray(predict(params, batch, aux))
+    ref = np.asarray(model.predict(
+        params, adj_fn(batch["graph_idx"], aux), batch["s0"], batch["i0"],
+        batch["r0"], batch["beta"], batch["gamma"],
+    )) * nm[None, :, :, None]
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+    # padding rows are exactly zero for every trial
+    for b in range(B):
+        n_real = int(batch_g.n_nodes[gi[b]])
+        assert np.all(out[:, b, n_real:, :] == 0.0)
