@@ -34,14 +34,16 @@ def _build() -> bool:
 
 def _load():
     global _lib, _tried
+    # checked per call (not just at first load) so tests and users can flip
+    # to the numpy fallback at any point in a process's life
+    if os.environ.get("GN_ODE_SIR_NO_NATIVE"):
+        return None
     if _lib is not None or _tried:
         return _lib
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if os.environ.get("GN_ODE_SIR_NO_NATIVE"):
-            return None
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
             if not _build():
                 return None
@@ -60,6 +62,13 @@ def _load():
         lib.gc_reverse_edge_index.argtypes = [i32p, i32p, i64, i64, i32p]
         lib.gc_degrees.restype = i64
         lib.gc_degrees.argtypes = [i32p, i64, i64, i32p]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.gc_spmm_chunk_count.restype = i64
+        lib.gc_spmm_chunk_count.argtypes = [i32p, i64, i64, i64]
+        lib.gc_spmm_plan_fill.restype = i64
+        lib.gc_spmm_plan_fill.argtypes = [
+            i32p, i32p, f32p, i64, i64, i64, i32p, i32p, i32p, f32p,
+        ]
         _lib = lib
         return _lib
 
@@ -120,6 +129,40 @@ def reverse_edge_index(src: np.ndarray, dst: np.ndarray, n_nodes: int):
     ) != 0:
         return None
     return cave
+
+
+def spmm_plan(src: np.ndarray, dst: np.ndarray, w, k_edges: int, r_rows: int):
+    """Greedy (<=K edges, <R rows) chunk plan over a dst-sorted edge list —
+    the host 'compile' step of the Pallas SpMM v2 kernel. Returns
+    (src_padded [C*K] i32, dst_local [C, K] i32 with sentinel R padding,
+    row_base [C] i32, w_padded [C*K] f32 or None); None -> caller fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    src, dst = _as_i32(src), _as_i32(dst)
+    e = src.shape[0]
+    c = lib.gc_spmm_chunk_count(_ptr32(dst), e, k_edges, r_rows)
+    if c < 0:
+        return None
+    c = max(int(c), 0)
+    src_p = np.empty(c * k_edges, np.int32)
+    dloc = np.empty((c, k_edges), np.int32)
+    base = np.empty(max(c, 1), np.int32)
+    if w is None:
+        w_arr, w_out, w_ptr = None, None, ctypes.POINTER(ctypes.c_float)()
+    else:
+        w_arr = np.ascontiguousarray(w, np.float32)
+        w_out = np.empty(c * k_edges, np.float32)
+        w_ptr = w_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    w_in = (w_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            if w_arr is not None else ctypes.POINTER(ctypes.c_float)())
+    got = lib.gc_spmm_plan_fill(
+        _ptr32(src), _ptr32(dst), w_in, e, k_edges, r_rows,
+        _ptr32(src_p), _ptr32(dloc.reshape(-1)), _ptr32(base), w_ptr,
+    )
+    if got != c:
+        return None
+    return src_p, dloc, base[:c], w_out
 
 
 def degrees(dst: np.ndarray, n_nodes: int):

@@ -94,6 +94,64 @@ int64_t gc_reverse_edge_index(const int32_t* src, const int32_t* dst,
   return 0;
 }
 
+// Greedy (<=k edges, <r destination rows) chunking of a dst-sorted edge
+// list — the host-side "compile" step of the Pallas SpMM v2 kernel
+// (ops/pallas_spmm2.py::SpmmPlan.build). Two-phase C ABI:
+//   gc_spmm_chunk_count  : number of chunks C (or -1 on unsorted input)
+//   gc_spmm_plan_fill    : fill src_padded [C*k], dst_local [C*k] (sentinel
+//                          r for padding), row_base [C], and optionally
+//                          w_padded [C*k] (0 for padding)
+int64_t gc_spmm_chunk_count(const int32_t* dst, int64_t e, int64_t k,
+                            int64_t r) {
+  if (e < 0 || k <= 0 || r <= 0) return -1;
+  int64_t c = 0;
+  int64_t i = 0;
+  while (i < e) {
+    int32_t r0 = dst[i];
+    int64_t hi = (i + k < e) ? i + k : e;
+    int64_t j = i;
+    while (j < hi) {
+      if (j > i && dst[j] < dst[j - 1]) return -1;  // must be sorted
+      if (dst[j] >= r0 + r) break;
+      ++j;
+    }
+    i = j;
+    ++c;
+  }
+  return c;
+}
+
+int64_t gc_spmm_plan_fill(const int32_t* src, const int32_t* dst,
+                          const float* w, int64_t e, int64_t k, int64_t r,
+                          int32_t* src_padded, int32_t* dst_local,
+                          int32_t* row_base, float* w_padded) {
+  if (e < 0 || k <= 0 || r <= 0) return -1;
+  int64_t c = 0;
+  int64_t i = 0;
+  while (i < e) {
+    int32_t r0 = dst[i];
+    int64_t hi = (i + k < e) ? i + k : e;
+    int64_t j = i;
+    while (j < hi && dst[j] < r0 + r) ++j;
+    row_base[c] = r0;
+    int64_t off = c * k;
+    for (int64_t t = 0; t < k; ++t) {
+      if (i + t < j) {
+        src_padded[off + t] = src[i + t];
+        dst_local[off + t] = dst[i + t] - r0;
+        if (w_padded) w_padded[off + t] = w[i + t];
+      } else {
+        src_padded[off + t] = 0;
+        dst_local[off + t] = static_cast<int32_t>(r);  // sentinel
+        if (w_padded) w_padded[off + t] = 0.0f;
+      }
+    }
+    i = j;
+    ++c;
+  }
+  return c;
+}
+
 int64_t gc_degrees(const int32_t* dst, int64_t e, int64_t n, int32_t* deg) {
   if (e < 0 || n <= 0) return -1;
   for (int64_t i = 0; i < n; ++i) deg[i] = 0;

@@ -64,36 +64,52 @@ class SpmmPlan:
         dst = np.asarray(dst, np.int32)
         assert np.all(np.diff(dst) >= 0), "edge list must be dst-sorted"
         E = dst.shape[0]
-        starts = [0]
-        e = 0
-        while e < E:
-            r0 = dst[e]
-            # furthest edge keeping <=K edges and dst < r0 + R
-            hi = min(e + k_edges, E)
-            hi = e + int(np.searchsorted(dst[e:hi], r0 + r_rows, side="left"))
-            starts.append(hi)
-            e = hi
-        starts = np.asarray(starts, np.int64)
-        C = starts.shape[0] - 1
-        src_p = np.zeros((C, k_edges), np.int32)
-        dloc = np.full((C, k_edges), r_rows, np.int32)  # sentinel = padding
-        base = np.zeros(C, np.int32)
-        w_p = None if w is None else np.zeros((C, k_edges), np.float32)
-        for c in range(C):
-            s, t = starts[c], starts[c + 1]
-            m = t - s
-            base[c] = dst[s]
-            src_p[c, :m] = src[s:t]
-            dloc[c, :m] = dst[s:t] - dst[s]
-            if w is not None:
-                w_p[c, :m] = np.asarray(w, np.float32)[s:t]
+
+        # native host core (C++, the torch-geometric-C++ slot): one pass,
+        # no per-chunk Python loop. Modest end-to-end win (0.165 s vs
+        # 0.190 s for all 12 enron-protocol plans — the [C, 8, K] padding
+        # materialization below dominates either way); equality-tested
+        # against the fallback field-by-field (tests/test_native.py)
+        from gn_ode_sir_tpu import native
+
+        built = native.spmm_plan(src, dst, w, k_edges, r_rows)
+        if built is not None:
+            src_flat, dloc, base, w_flat = built
+            C = base.shape[0]
+        else:
+            starts = [0]
+            e = 0
+            while e < E:
+                r0 = dst[e]
+                # furthest edge keeping <=K edges and dst < r0 + R
+                hi = min(e + k_edges, E)
+                hi = e + int(np.searchsorted(dst[e:hi], r0 + r_rows,
+                                             side="left"))
+                starts.append(hi)
+                e = hi
+            starts = np.asarray(starts, np.int64)
+            C = starts.shape[0] - 1
+            src_p = np.zeros((C, k_edges), np.int32)
+            dloc = np.full((C, k_edges), r_rows, np.int32)  # sentinel pad
+            base = np.zeros(C, np.int32)
+            w_p = None if w is None else np.zeros((C, k_edges), np.float32)
+            for c in range(C):
+                s, t = starts[c], starts[c + 1]
+                m = t - s
+                base[c] = dst[s]
+                src_p[c, :m] = src[s:t]
+                dloc[c, :m] = dst[s:t] - dst[s]
+                if w is not None:
+                    w_p[c, :m] = np.asarray(w, np.float32)[s:t]
+            src_flat = src_p.reshape(-1)
+            w_flat = None if w_p is None else w_p.reshape(-1)
         return SpmmPlan(
-            src_padded=src_p.reshape(-1),
+            src_padded=src_flat,
             dst_local=np.ascontiguousarray(
                 np.broadcast_to(dloc[:, None, :], (C, 8, k_edges))
             ),
             row_base=base,
-            w_padded=None if w_p is None else w_p.reshape(-1),
+            w_padded=w_flat,
             n_nodes=n_nodes,
             k_edges=k_edges,
             r_rows=r_rows,

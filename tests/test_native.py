@@ -83,3 +83,34 @@ def test_degrees(random_graph):
     g = random_graph
     deg = native.degrees(g.dst, g.n_nodes)
     np.testing.assert_array_equal(deg, np.bincount(g.dst, minlength=g.n_nodes))
+
+
+def test_spmm_plan_matches_fallback(random_graph):
+    """Native chunk-plan build == the Python greedy loop, field by field
+    (src gather rows, local dst with sentinel padding, chunk bases, weights)."""
+    from gn_ode_sir_tpu.ops.pallas_spmm2 import SpmmPlan
+
+    g = random_graph
+    w = np.random.default_rng(9).random(g.n_edges).astype(np.float32)
+    kw = dict(k_edges=32, r_rows=8)
+    p_nat = SpmmPlan.build(g.src, g.dst, g.n_nodes, w=w, **kw)
+    os.environ["GN_ODE_SIR_NO_NATIVE"] = "1"
+    try:
+        p_py = SpmmPlan.build(g.src, g.dst, g.n_nodes, w=w, **kw)
+    finally:
+        del os.environ["GN_ODE_SIR_NO_NATIVE"]
+    np.testing.assert_array_equal(p_nat.src_padded, p_py.src_padded)
+    np.testing.assert_array_equal(p_nat.dst_local, p_py.dst_local)
+    np.testing.assert_array_equal(p_nat.row_base, p_py.row_base)
+    np.testing.assert_array_equal(p_nat.w_padded, p_py.w_padded)
+    # unweighted variant too
+    q_nat = SpmmPlan.build(g.src, g.dst, g.n_nodes, **kw)
+    os.environ["GN_ODE_SIR_NO_NATIVE"] = "1"
+    try:
+        q_py = SpmmPlan.build(g.src, g.dst, g.n_nodes, **kw)
+    finally:
+        del os.environ["GN_ODE_SIR_NO_NATIVE"]
+    assert q_nat.w_padded is None and q_py.w_padded is None
+    np.testing.assert_array_equal(q_nat.src_padded, q_py.src_padded)
+    np.testing.assert_array_equal(q_nat.dst_local, q_py.dst_local)
+    np.testing.assert_array_equal(q_nat.row_base, q_py.row_base)
