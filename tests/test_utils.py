@@ -136,3 +136,32 @@ def test_roofline_models():
     # more steps on the big graph strictly increases both terms
     g2 = mg_train_epoch_model(33696, 8, 8, [(6, 361_622), (18, 40_000)], 40)
     assert g2["ops"] > g["ops"] and g2["bytes"] > g["bytes"]
+
+
+def test_coin_mode_sidecar(tmp_path, karate, capsys):
+    """Label extraction records the RESOLVED coin mode next to the cache;
+    a later extraction with a different mode warns (rbg16 reruns are
+    batch-composition-dependent — ADVICE r3: flag mixed-stream caches)."""
+    import json
+
+    from gn_ode_sir_tpu.utils import load_or_extract_labels
+
+    d = str(tmp_path / "cache")
+    load_or_extract_labels(karate, [0, 5], 0.3, 0.2, sim=50, max_time=6,
+                           save_dir=d, coins="bits16")
+    meta = json.load(open(f"{d}/coins-mode.json"))
+    assert meta["coins"] == "bits16"
+
+    # same mode again: no warning, meta unchanged
+    capsys.readouterr()
+    load_or_extract_labels(karate, [1, 6], 0.3, 0.2, sim=50, max_time=6,
+                           save_dir=d, coins="bits16")
+    assert "WARNING" not in capsys.readouterr().out
+    assert json.load(open(f"{d}/coins-mode.json"))["coins"] == "bits16"
+
+    # different mode: loud warning, original record kept
+    load_or_extract_labels(karate, [2, 7], 0.3, 0.2, sim=50, max_time=6,
+                           save_dir=d, coins="bits32")
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "bits32" in out
+    assert json.load(open(f"{d}/coins-mode.json"))["coins"] == "bits16"
