@@ -130,6 +130,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "2.7x faster than COO at 7k-node padding; above the "
                         "limit, stacked Pallas2 chunk plans with graph-"
                         "homogeneous batches on TPU / COO on CPU)")
+    p.add_argument("--mg_precision", default="f32", choices=["f32", "bf16"],
+                   help="stacked-Pallas2 kernel message precision (bf16 "
+                        "halves gather bytes; f32 exact) — pallas2 backend "
+                        "only")
     return p
 
 
@@ -506,8 +510,12 @@ def run_multigraph(args):
 
     # zero-config backend dispatch (dense / coo / stacked-pallas2 +
     # grouped batches above the dense limit) — same path library users get
+    pallas_kw = (
+        {"precision": args.mg_precision} if args.mg_precision != "f32" else {}
+    )
     conn = multigraph_auto_fns(
-        batch, gcn_normalized=gcn_norm, eval_graph=-1, kind=args.mg_adj)
+        batch, gcn_normalized=gcn_norm, eval_graph=-1, kind=args.mg_adj,
+        **pallas_kw)
     print(f"multigraph adjacency backend: {conn.kind}")
 
     params = model.init(jax.random.PRNGKey(args.init_seed))
