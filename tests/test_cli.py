@@ -322,3 +322,15 @@ def test_worker_crash_resume_drill(tmp_path):
     assert worker.main(argv + ["--resume"]) == 0
     assert csv.exists()
     assert len(csv.read_text().splitlines()) == n_rows_before + (2 if n_rows_before == 0 else 1)
+
+
+def test_checkpoint_dir_naming():
+    """Single-graph and '+'-multigraph runs get distinct, dataset-tagged
+    checkpoint dirs (a names-free dir would collide across multigraph runs
+    sharing a path_to_save)."""
+    from gn_ode_sir_tpu.cli.worker import checkpoint_dir_for
+
+    assert checkpoint_dir_for("/p", 3, "ode_nn", "./real_graphs/karate") == \
+        "/p/ckpt-trial3-ode_nn"
+    assert checkpoint_dir_for("/p", 1, "GCN", "./real_graphs/a+b+c") == \
+        "/p/ckpt-trial1-GCN-mg-a-b-c"

@@ -378,3 +378,22 @@ def test_multigraph_auto_fns_above_dense_limit(two_graphs, tmp_path, monkeypatch
     res_d = fit(model, optax.adam(1e-2), params, data, tr, va, te,
                 **conn_d.fit_kwargs(), epochs=2, batch_size=4, verbose=False)
     assert np.isfinite(res_d.test_loss)
+
+
+def test_multigraph_auto_fns_warns_on_unused_pallas_kwargs(two_graphs):
+    """Scale-portable callers may set kernel knobs 'for when it's big' —
+    when the resolver picks dense/coo, say so instead of silently ignoring."""
+    import warnings
+
+    from gn_ode_sir_tpu.train import multigraph_auto_fns
+
+    batch = pad_graphs(two_graphs)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        conn = multigraph_auto_fns(batch, k_edges=256)
+    assert conn.kind == "dense"
+    assert any("k_edges" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        multigraph_auto_fns(batch)
+    assert not w
