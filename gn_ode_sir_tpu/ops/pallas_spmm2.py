@@ -244,6 +244,63 @@ def _spmm2_diff_bwd(n_nodes, k_edges, r_rows, interpret, precision, res, g):
 _spmm2_diff.defvjp(_spmm2_diff_fwd, _spmm2_diff_bwd)
 
 
+# Measured-safe VMEM budget for the kernel's [n_pad, h_eff] f32 output
+# block (enron at h=64 is 8.7 MB and runs; whole-row blocks near 16 MB
+# fault — CLAUDE.md / sim pallas history). Bounds the batch fold below.
+_OUT_VMEM_BUDGET = 9 << 20
+
+
+def _fold_group_limit(n_nodes: int, r_rows: int,
+                      budget: int = _OUT_VMEM_BUDGET) -> int:
+    """Max folded feature width sharing ONE kernel pass (see _fold_for_kernel)."""
+    n_pad = ((n_nodes + r_rows - 1) // r_rows) * r_rows + r_rows
+    max_h = (budget // (n_pad * 4)) // 64 * 64
+    return max(64, max_h)
+
+
+def _fold_for_kernel(x, fold_group: int):
+    """Fold a [B, n, h] batch into lane-aligned kernel blocks.
+
+    The plan is SHARED across the batch, so the batch dim can fold into the
+    feature dim: samples [n, h] stack side-by-side into one [n, g*h] message
+    block and ONE kernel pass serves g samples (the multigraph train path
+    batches 8 trials of the same graph — 8x fewer grid traversals than a
+    per-sample lax.map). Group size g is bounded by the kernel's VMEM
+    output-block budget (``fold_group``).
+
+    Mosaic faults on non-lane-aligned VMEM blocks: the kernel's (k_edges, h)
+    message block needs a lane-aligned h (h=1 from the classical-baseline
+    matvec crashed the TPU worker; 64 is the measured-working width).
+    Zero-pad the folded feature dim up to the next multiple of 64 — not just
+    h<64: an unaligned h>64 (e.g. --hidden 100) is the same fault class —
+    and slice back.
+
+    Returns ``(folded, unfold)`` where ``unfold`` maps the kernel output
+    stack back to the caller's [B, n, h] layout.
+    """
+    b, n, h = x.shape
+    g = max(1, min(b, fold_group // h))
+    b_pad = (-b) % g
+    if b_pad:
+        x = jnp.pad(x, ((0, b_pad), (0, 0), (0, 0)))
+    if g > 1:
+        # [B/g, g, n, h] -> [B/g, n, g*h] (sample-major feature columns)
+        x = x.reshape(-1, g, n, h).transpose(0, 2, 1, 3).reshape(-1, n, g * h)
+    hf = x.shape[-1]
+    pad = (-hf) % 64
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+
+    def unfold(out):
+        if pad:
+            out = out[..., :hf]
+        if g > 1:
+            out = out.reshape(-1, n, g, h).transpose(0, 2, 1, 3).reshape(-1, n, h)
+        return out[:b] if b_pad else out
+
+    return x, unfold
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class Pallas2Adj:
@@ -294,45 +351,14 @@ class Pallas2Adj:
             interpret=bool(interpret), precision=precision,
         )
 
-    # Measured-safe VMEM budget for the kernel's [n_pad, h_eff] f32 output
-    # block (enron at h=64 is 8.7 MB and runs; whole-row blocks near 16 MB
-    # fault — CLAUDE.md / sim pallas history). Bounds the batch fold below.
-    _OUT_VMEM_BUDGET = 9 << 20
-
-    def _fold_group(self) -> int:
-        """How many batch samples can share ONE kernel pass (see matvec)."""
-        n_pad = (
-            (self.n_nodes + self.r_rows - 1) // self.r_rows
-        ) * self.r_rows + self.r_rows
-        max_h = (self._OUT_VMEM_BUDGET // (n_pad * 4)) // 64 * 64
-        return max(64, max_h)
+    # instance/class override point for the fold budget (tests exercise
+    # g=1 / small-group / whole-batch folds through it)
+    _OUT_VMEM_BUDGET = _OUT_VMEM_BUDGET
 
     def matvec(self, x):
-        # The plan is SHARED across the batch, so the batch dim can fold
-        # into the feature dim: samples [n, h] stack side-by-side into one
-        # [n, g*h] message block and ONE kernel pass serves g samples (the
-        # multigraph train path batches 8 trials of the same graph — 8x
-        # fewer grid traversals than a per-sample lax.map). Group size g is
-        # bounded by the kernel's VMEM output-block budget.
-        #
-        # Mosaic faults on non-lane-aligned VMEM blocks: the kernel's
-        # (k_edges, h) message block needs a lane-aligned h (h=1 from the
-        # classical-baseline matvec crashed the TPU worker; 64 is the
-        # measured-working width). Zero-pad the folded feature dim up to the
-        # next multiple of 64 — not just h<64: an unaligned h>64 (e.g.
-        # --hidden 100) is the same fault class — and slice back.
-        b, n, h = x.shape
-        g = max(1, min(b, self._fold_group() // h))
-        b_pad = (-b) % g
-        if b_pad:
-            x = jnp.pad(x, ((0, b_pad), (0, 0), (0, 0)))
-        if g > 1:
-            # [B/g, g, n, h] -> [B/g, n, g*h] (sample-major feature columns)
-            x = x.reshape(-1, g, n, h).transpose(0, 2, 1, 3).reshape(-1, n, g * h)
-        hf = x.shape[-1]
-        pad = (-hf) % 64
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+        x, unfold = _fold_for_kernel(
+            x, _fold_group_limit(self.n_nodes, self.r_rows,
+                                 self._OUT_VMEM_BUDGET))
 
         def one(xb):
             return _spmm2_diff(
@@ -342,12 +368,7 @@ class Pallas2Adj:
                 self.src_t, self.dloc_t, self.base_t, self.w_t, xb,
             )
 
-        out = jax.lax.map(one, x)
-        if pad:
-            out = out[..., :hf]
-        if g > 1:
-            out = out.reshape(-1, n, g, h).transpose(0, 2, 1, 3).reshape(-1, n, h)
-        return out[:b] if b_pad else out
+        return unfold(jax.lax.map(one, x))
 
     def tree_flatten(self):
         leaves = (self.src_p, self.dloc, self.base, self.w_p,
@@ -362,6 +383,79 @@ class Pallas2Adj:
 
 
 _PLAN_KEYS = ("src_p", "dloc", "base", "w_p", "src_t", "dloc_t", "base_t", "w_t")
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Pallas2SwitchAdj:
+    """Stacked-plan adjacency that traverses ONLY the selected graph's real
+    chunk grid.
+
+    The plain stacked path (:class:`Pallas2Adj` via a padded-row gather) pads
+    every graph's plan to the stack's max chunk count, so a train step on a
+    1-chunk graph (dolphins, 159 edges) traverses the biggest train graph's
+    grid (wiki-vote, ~200 chunks) AND gathers the padded message block —
+    ~200x the work at the reference ngraphs composition. Here ``matvec``
+    is a ``lax.switch`` over per-graph branches, each statically sliced to
+    that graph's TRUE (fwd, transpose) chunk counts, so grid steps and the
+    message gather scale with the selected graph's real edges.
+
+    Bit-identical to the padded gather: padding chunks accumulate exact f32
+    zeros at base row 0 and padded messages gather x[0]*0.0, so removing
+    them changes no output bit. The selector ``row`` stays a traced scalar —
+    one compiled program serves every graph (G kernel variants compile once).
+    """
+
+    stack: dict  # the 8 _PLAN_KEYS arrays, each [G, ...] (pytree leaves)
+    row: jnp.ndarray  # scalar int32 stack row to apply
+    counts_fwd: tuple  # static per-row true chunk counts, fwd plans
+    counts_twd: tuple  # static per-row true chunk counts, transpose plans
+    n_nodes: int
+    k_edges: int
+    r_rows: int
+    interpret: bool = False
+    precision: str = "f32"
+
+    def _branch(self, g: int, xb):
+        s, K = self.stack, self.k_edges
+        cf, ct = self.counts_fwd[g], self.counts_twd[g]
+        return _spmm2_diff(
+            self.n_nodes, K, self.r_rows, self.interpret, self.precision,
+            s["src_p"][g, : cf * K], s["dloc"][g, :cf], s["base"][g, :cf],
+            s["w_p"][g, : cf * K],
+            s["src_t"][g, : ct * K], s["dloc_t"][g, :ct], s["base_t"][g, :ct],
+            s["w_t"][g, : ct * K],
+            xb,
+        )
+
+    _OUT_VMEM_BUDGET = _OUT_VMEM_BUDGET
+
+    def matvec(self, x):
+        x, unfold = _fold_for_kernel(
+            x, _fold_group_limit(self.n_nodes, self.r_rows,
+                                 self._OUT_VMEM_BUDGET))
+        branches = [
+            (lambda xb, g=g: self._branch(g, xb))
+            for g in range(len(self.counts_fwd))
+        ]
+
+        def one(xb):
+            if len(branches) == 1:
+                return branches[0](xb)
+            return jax.lax.switch(self.row, branches, xb)
+
+        return unfold(jax.lax.map(one, x))
+
+    def tree_flatten(self):
+        return (self.stack, self.row), (
+            self.counts_fwd, self.counts_twd, self.n_nodes, self.k_edges,
+            self.r_rows, self.interpret, self.precision,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        stack, row = children
+        return cls(stack, row, *aux)
 
 
 def _pad_plan(plan: SpmmPlan, c_max: int):
@@ -408,23 +502,43 @@ def stacked_plans(edge_lists, n_nodes: int, *, k_edges: int = 512,
             stacks[k].append(arr)
         for k, arr in zip(_PLAN_KEYS[4:], _pad_plan(t, c_max)):
             stacks[k].append(arr)
-    return {k: np.stack(v) for k, v in stacks.items()}
+    out = {k: np.stack(v) for k, v in stacks.items()}
+    # static per-graph TRUE chunk counts — what Pallas2SwitchAdj slices to.
+    # Host-side tuples, NOT aux arrays: they set kernel grid sizes at trace
+    # time (callers pop them before shipping the stack into a jitted aux).
+    out["counts_fwd"] = tuple(p.num_chunks for p in fwd)
+    out["counts_twd"] = tuple(p.num_chunks for p in twd)
+    return out
 
 
 def adj_from_stack(stack, graph_idx, n_nodes: int, *, k_edges: int,
                    r_rows: int, interpret: bool | None = None,
-                   precision: str = "f32") -> "Pallas2Adj":
-    """Gather ONE graph's plan rows from a stacked-plan dict (device op).
+                   precision: str = "f32", counts=None):
+    """Select ONE graph's plan from a stacked-plan dict (device op).
 
     ``graph_idx`` must be a scalar (or [B] of EQUAL ids — only element 0 is
     read: callers batch graph-homogeneously, see
     ``train.multigraph.multigraph_pallas2_fns``). ``k_edges``/``r_rows`` are
     the STATIC geometry the stack was built with (they cannot ride inside a
     traced aux dict).
+
+    With ``counts`` — the ``(counts_fwd, counts_twd)`` static tuples from
+    :func:`stacked_plans` — returns a :class:`Pallas2SwitchAdj` whose kernel
+    grid covers only the selected graph's REAL chunks (bit-identical,
+    strictly less work). Without it, falls back to gathering the padded plan
+    row into a :class:`Pallas2Adj` (every graph pays the stack's max chunk
+    count).
     """
     g0 = jnp.asarray(graph_idx).reshape(-1)[0]
     if interpret is None:
         interpret = _apply_interpret_default()
+    if counts is not None:
+        return Pallas2SwitchAdj(
+            stack={k: stack[k] for k in _PLAN_KEYS}, row=g0,
+            counts_fwd=tuple(counts[0]), counts_twd=tuple(counts[1]),
+            n_nodes=n_nodes, k_edges=k_edges, r_rows=r_rows,
+            interpret=bool(interpret), precision=precision,
+        )
     return Pallas2Adj(
         *(stack[k][g0] for k in _PLAN_KEYS),
         n_nodes=n_nodes, k_edges=k_edges, r_rows=r_rows,

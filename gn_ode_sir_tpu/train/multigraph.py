@@ -90,8 +90,8 @@ def multigraph_auto_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
     [G, n, n] MXU gather; above it, TPU gets the chunked Pallas plans plus
     grouped batches — no ValueError, no backend-specific calling convention
     to learn. ``pallas_kw`` (``k_edges``, ``r_rows``, ``precision``,
-    ``interpret``) reaches :func:`multigraph_pallas2_fns` when that backend
-    is selected.
+    ``interpret``, ``per_graph_grid``) reaches
+    :func:`multigraph_pallas2_fns` when that backend is selected.
     """
     if kind == "auto":
         kind = resolve_mg_kind(batch, gcn_normalized=gcn_normalized)
@@ -208,7 +208,8 @@ def _real_edge_lists(batch: GraphBatch, graph_ids, gcn_normalized: bool):
 def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
                            eval_graph: int = -1, k_edges: int = 512,
                            r_rows: int = 128, precision: str = "f32",
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           per_graph_grid: bool = True):
     """Stacked-Pallas2 connectivity for multigraph runs ABOVE the dense
     limit — the backend that takes the ngraphs protocol to enron scale.
 
@@ -216,16 +217,22 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
     ``fit(..., eval_adj_fn=..., batch_by_graph=True)``. Two bucketed plan
     stacks ride in ``aux`` (jit ARGUMENTS, never HLO constants):
 
-    - the TRAIN stack covers only the non-eval graphs, padded to THEIR max
-      chunk count — a train step on a 7k-node train graph never traverses
-      the 33k-node eval graph's chunk grid (~2x fewer kernel grid steps at
-      the reference ngraphs composition);
+    - the TRAIN stack covers only the non-eval graphs — a train step never
+      traverses the 33k-node eval graph's chunk grid;
     - the EVAL stack covers all graphs at the full chunk count.
 
-    Both adj_fns gather ONE graph's plan per minibatch (``graph_idx[0]``),
+    With ``per_graph_grid`` (default), each minibatch traverses ONLY its own
+    graph's real chunk grid: the adj is a ``lax.switch`` over per-graph
+    statically-sliced plans (``ops.pallas_spmm2.Pallas2SwitchAdj``), so a
+    dolphins step costs 1 chunk, not the stack-max ~200 — bit-identical
+    output, strictly less grid + message-gather work. ``False`` keeps the
+    padded-row gather (every step pays the stack's max chunk count; the
+    measured round-3 behavior, kept for A/B probes).
+
+    Both adj_fns apply ONE graph's plan per minibatch (``graph_idx[0]``),
     so batches MUST be graph-homogeneous (``fit(batch_by_graph=True)``
     builds them; the kernel then folds the whole batch into one grid pass —
-    ``Pallas2Adj.matvec``). Heterogeneous batching stays available via
+    ``_fold_for_kernel``). Heterogeneous batching stays available via
     ``multigraph_adj_fns(kind='coo'|'dense')``.
     """
     from gn_ode_sir_tpu.ops.pallas_spmm2 import adj_from_stack, stacked_plans
@@ -241,6 +248,11 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
         _real_edge_lists(batch, train_ids, gcn_normalized), n_max, **kw)
     full_stack = stacked_plans(
         _real_edge_lists(batch, range(G), gcn_normalized), n_max, **kw)
+    # static per-graph chunk counts — trace-time values, never aux arrays
+    t_counts = (train_stack.pop("counts_fwd"), train_stack.pop("counts_twd"))
+    f_counts = (full_stack.pop("counts_fwd"), full_stack.pop("counts_twd"))
+    if not per_graph_grid:
+        t_counts = f_counts = None
     aux = {"node_mask": batch.node_mask, "p2t_remap": remap}
     aux.update({f"p2t_{k}": v for k, v in train_stack.items()})
     aux.update({f"p2f_{k}": v for k, v in full_stack.items()})
@@ -253,13 +265,13 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
         stack = {k: aux[f"p2t_{k}"] for k in train_stack}
         return adj_from_stack(stack, row, n_max, k_edges=k_edges,
                               r_rows=r_rows, interpret=interpret,
-                              precision=precision)
+                              precision=precision, counts=t_counts)
 
     def eval_adj_fn(graph_idx, aux):
         stack = {k: aux[f"p2f_{k}"] for k in full_stack}
         return adj_from_stack(stack, graph_idx, n_max, k_edges=k_edges,
                               r_rows=r_rows, interpret=interpret,
-                              precision=precision)
+                              precision=precision, counts=f_counts)
 
     # fit() refuses to run these with heterogeneous minibatches: adj_from_
     # stack applies graph_idx[0]'s plan to the WHOLE batch, which would

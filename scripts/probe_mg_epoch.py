@@ -10,10 +10,13 @@ kernel grid traverses the batch graph's chunk plan. This decomposes:
    inside one jitted scan at the same message width (batch*hidden), per
    train graph in its epoch proportion — time attributable to SpMM grid
    traversals alone;
-3. levers: bf16 kernel messages (plan precision knob), batch size 8/16/24
-   (bigger grouped batches = fewer grid passes per epoch; NOTE batch size
-   is part of the training protocol — this measures throughput headroom,
-   not a drop-in default change);
+3. levers: the round-3 padded chunk grid (per_graph_grid=False — every
+   step pays the stack-max chunk count; the new per-graph lax.switch grid
+   is the default and is what item 1 measures), bf16 kernel messages (plan
+   precision knob), batch size 8/16/24 (bigger grouped batches = fewer
+   grid passes per epoch; NOTE batch size is part of the training
+   protocol — this measures throughput headroom, not a drop-in default
+   change);
 4. eval share: one unseen-graph eval pass (runs every epoch in fit()).
 
 epoch - kernel_floor ~= solver + encode/decode + loss/opt overhead. If the
@@ -110,9 +113,9 @@ def main(smoke: bool = False):
     optimizer = optax.adam(1e-3)
     results = {}
 
-    def time_epoch(precision, bs, tag):
+    def time_epoch(precision, bs, tag, per_graph_grid=True):
         adj_fn, eval_adj_fn, node_mask_fn, adj_aux = multigraph_pallas2_fns(
-            batch, precision=precision)
+            batch, precision=precision, per_graph_grid=per_graph_grid)
         d = _data_to_device(data)
         d["__adj_aux__"] = jax.tree_util.tree_map(jnp.asarray, adj_aux)
         opt_state = optimizer.init(params)
@@ -135,6 +138,7 @@ def main(smoke: bool = False):
             best = min(best, time.perf_counter() - t0)
         results[tag] = {"epoch_s": best, "steps": int(bi.shape[0]),
                         "batch": bs, "precision": precision,
+                        "per_graph_grid": per_graph_grid,
                         "compile_s": compile_s}
         print(f"{tag}: {bi.shape[0]} steps @ batch {bs} prec={precision}: "
               f"{best:.3f}s (compile {compile_s:.0f}s)", flush=True)
@@ -196,7 +200,9 @@ def main(smoke: bool = False):
     print(f"epoch utilization: mfu={util['mfu']:.4f} "
           f"hbm_frac={util['hbm_frac']:.4f}", flush=True)
 
-    # levers
+    # levers (epoch_f32_b8 above already runs the round-4 default:
+    # per-graph chunk grids via Pallas2SwitchAdj)
+    time_epoch("f32", 8, "epoch_f32_b8_paddedgrid", per_graph_grid=False)
     time_epoch("bf16", 8, "epoch_bf16_b8")
     time_epoch("f32", 16, "epoch_f32_b16")
     time_epoch("f32", 24, "epoch_f32_b24")

@@ -79,6 +79,24 @@ def test_worker_multigraph(tmp_path):
     assert pickle.load(open(beta_pkl, "rb")) == betas_first
 
 
+@pytest.mark.parametrize("model", ["GCN", "GIN"])
+def test_worker_multigraph_gnn_baselines(tmp_path, model):
+    """GCN/GIN down the '+'-dataset path (gnn_ngraphs.py protocol), with
+    --resume passed as the retry chains do (a no-op without a checkpoint)."""
+    argv = [
+        "--dataset", "/root/reference/real_graphs/karate+dolphins",
+        "--model", model, "--hidden", "8", "--epochs", "2", "--lr", "1e-3",
+        "--batch_size", "4", "--sim", "100", "--maxTime", "8",
+        "--instances_per_graph", "4", "6",
+        "--path_to_save", str(tmp_path), "--log_every", "10", "--seed", "1",
+        "--init_seed", "0", "--trial", "1", "--resume",
+    ]
+    rc = worker.main(argv)
+    assert rc == 0
+    csv = tmp_path / "Metrics-trials-karate+dolphins"
+    assert csv.exists() and f",{model}," in csv.read_text()
+
+
 def test_worker_config_json(tmp_path):
     """--config supplies defaults; explicit flags still win."""
     import json

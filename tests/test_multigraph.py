@@ -244,6 +244,34 @@ def test_pallas2_matvec_batch_fold(random_graph):
             np.asarray(adj2.matvec(x)), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_pallas2_per_graph_grid_matches_padded(two_graphs):
+    """per_graph_grid=True (lax.switch over per-graph true chunk counts)
+    must be BIT-identical to the padded-row gather: padding chunks only ever
+    add exact f32 zeros, so removing them changes no output bit — fwd and
+    grad, on every stack row (train remap + full eval stack)."""
+    from gn_ode_sir_tpu.train import multigraph_pallas2_fns
+
+    batch = pad_graphs(two_graphs, node_multiple=8, edge_multiple=16)
+    kw = dict(eval_graph=-1, k_edges=32, r_rows=8, interpret=True)
+    tr_s, ev_s, _, aux_s = multigraph_pallas2_fns(batch, **kw)
+    tr_p, ev_p, _, aux_p = multigraph_pallas2_fns(
+        batch, per_graph_grid=False, **kw)
+    aux_s = jax.tree_util.tree_map(jnp.asarray, aux_s)
+    aux_p = jax.tree_util.tree_map(jnp.asarray, aux_p)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, batch.n_max, 4)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((2, batch.n_max, 4)), jnp.float32)
+    for g_id, fs, fp in [(0, tr_s, tr_p), (0, ev_s, ev_p), (1, ev_s, ev_p)]:
+        gi = jnp.full((2,), g_id, jnp.int32)
+        loss_s = lambda xx: (fs(gi, aux_s).matvec(xx) * t).sum()
+        loss_p = lambda xx: (fp(gi, aux_p).matvec(xx) * t).sum()
+        np.testing.assert_array_equal(
+            np.asarray(fs(gi, aux_s).matvec(x)),
+            np.asarray(fp(gi, aux_p).matvec(x)))
+        np.testing.assert_array_equal(
+            np.asarray(jax.grad(loss_s)(x)), np.asarray(jax.grad(loss_p)(x)))
+
+
 def test_multigraph_fit_pallas2_end_to_end(two_graphs, tmp_path):
     """fit(batch_by_graph=True, eval_adj_fn=...) over the stacked plans
     trains and evaluates; loss decreases and matches the COO run's first
