@@ -224,6 +224,33 @@ def main(smoke: bool = False):
         json.dump(results, f, indent=1)
     print("wrote runs_r4/probe_mg_epoch.json", flush=True)
 
+    # RISKY lever LAST (main results are already on disk): double the
+    # kernel's fold budget so the 60-trial eval folds to g=16 (4 kernel
+    # passes per f-eval instead of 8; ~17 MB VMEM out block — the
+    # vmem_limit formula in _spmm2_call requests 2.2x output + margin, but
+    # this footprint is UNTESTED on hardware and a Mosaic fault can wedge
+    # the tunnel ~15 min, so it must not gate anything above).
+    try:
+        from gn_ode_sir_tpu.ops import pallas_spmm2 as p2
+
+        p2.Pallas2Adj._OUT_VMEM_BUDGET = 18 << 20
+        p2.Pallas2SwitchAdj._OUT_VMEM_BUDGET = 18 << 20
+        evaluate16 = make_eval_fn(model, eval_adj_fn, node_mask_fn)
+        float(evaluate16(params, d, val_bi, val_bw))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(evaluate16(params, d, val_bi, val_bw))
+            best = min(best, time.perf_counter() - t0)
+        results["eval_pass_fold16_s"] = best
+        print(f"eval pass at 2x fold budget (g=16): {best:.3f}s", flush=True)
+    except Exception as e:  # noqa: BLE001 — lever is best-effort
+        results["eval_pass_fold16_s"] = None
+        print(f"fold16 eval lever failed (kept default budget): {e!r}",
+              flush=True)
+    with open("runs_r4/probe_mg_epoch.json", "w") as f:
+        json.dump(results, f, indent=1)
+
 
 if __name__ == "__main__":
     main(smoke="--smoke" in sys.argv)
