@@ -418,7 +418,12 @@ class Pallas2SwitchAdj:
 
     def _branch(self, g: int, xb):
         s, K = self.stack, self.k_edges
-        cf, ct = self.counts_fwd[g], self.counts_twd[g]
+        # clamp to one chunk: a zero-edge graph would slice to a grid-(0,)
+        # pallas_call whose output is never zero-initialized (the c==0 init
+        # runs inside the kernel body); one sentinel chunk accumulates
+        # exactly zero instead, preserving the bit-identical guarantee
+        cf = max(1, self.counts_fwd[g])
+        ct = max(1, self.counts_twd[g])
         return _spmm2_diff(
             self.n_nodes, K, self.r_rows, self.interpret, self.precision,
             s["src_p"][g, : cf * K], s["dloc"][g, :cf], s["base"][g, :cf],
@@ -482,8 +487,14 @@ def stacked_plans(edge_lists, n_nodes: int, *, k_edges: int = 512,
     sorted ascending (the :class:`~gn_ode_sir_tpu.graphs.batch.GraphBatch`
     layout). Every graph's plan pads to the max chunk count, so a per-batch
     gather of one graph's plan rows is a static-shape device op and all
-    batches share one compiled program. Returns a dict of [G, ...] arrays
-    (keys ``_PLAN_KEYS``) plus the static geometry under 'k_edges'/'r_rows'.
+    batches share one compiled program.
+
+    Returns a dict with the [G, ...] plan arrays under ``_PLAN_KEYS`` plus
+    two NON-array entries, ``'counts_fwd'``/``'counts_twd'`` — static
+    per-graph true chunk-count tuples for :class:`Pallas2SwitchAdj`. POP
+    those two before shipping the dict into a jitted aux (tree-mapping them
+    to device would silently turn trace-time grid sizes into arrays); see
+    ``train.multigraph.multigraph_pallas2_fns``.
     """
     fwd, twd = [], []
     for src, dst, w in edge_lists:

@@ -250,9 +250,15 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
         _real_edge_lists(batch, range(G), gcn_normalized), n_max, **kw)
     # static per-graph chunk counts — trace-time values, never aux arrays
     t_counts = (train_stack.pop("counts_fwd"), train_stack.pop("counts_twd"))
-    f_counts = (full_stack.pop("counts_fwd"), full_stack.pop("counts_twd"))
+    full_stack.pop("counts_fwd"), full_stack.pop("counts_twd")
     if not per_graph_grid:
-        t_counts = f_counts = None
+        t_counts = None
+    # the EVAL side keeps the padded single-kernel plan: protocol batches
+    # through eval_adj_fn are all the unseen eval graph, whose true chunk
+    # count IS the full-stack max — a per-graph switch there gains no
+    # runtime and compiles G-1 dead kernel variants through a tunnel where
+    # compiles run minutes
+    f_counts = None
     aux = {"node_mask": batch.node_mask, "p2t_remap": remap}
     aux.update({f"p2t_{k}": v for k, v in train_stack.items()})
     aux.update({f"p2f_{k}": v for k, v in full_stack.items()})

@@ -220,9 +220,15 @@ def main(smoke: bool = False):
     print(f"eval pass (60 unseen-graph trials, 1 batch): {best:.3f}s", flush=True)
 
     os.makedirs("runs_r4", exist_ok=True)
-    with open("runs_r4/probe_mg_epoch.json", "w") as f:
+    # smoke runs must NOT write the real evidence path — the retry chain
+    # gates the TPU probe on runs_r4/probe_mg_epoch.json existing, and
+    # RESULTS.md cites it as the measured A/B
+    out_path = ("runs_r4/probe_mg_epoch_smoke.json" if smoke
+                else "runs_r4/probe_mg_epoch.json")
+    results["smoke"] = smoke
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
-    print("wrote runs_r4/probe_mg_epoch.json", flush=True)
+    print(f"wrote {out_path}", flush=True)
 
     # RISKY lever LAST (main results are already on disk): double the
     # kernel's fold budget so the 60-trial eval folds to g=16 (4 kernel
@@ -230,9 +236,11 @@ def main(smoke: bool = False):
     # vmem_limit formula in _spmm2_call requests 2.2x output + margin, but
     # this footprint is UNTESTED on hardware and a Mosaic fault can wedge
     # the tunnel ~15 min, so it must not gate anything above).
-    try:
-        from gn_ode_sir_tpu.ops import pallas_spmm2 as p2
+    from gn_ode_sir_tpu.ops import pallas_spmm2 as p2
 
+    saved_budgets = (p2.Pallas2Adj._OUT_VMEM_BUDGET,
+                     p2.Pallas2SwitchAdj._OUT_VMEM_BUDGET)
+    try:
         p2.Pallas2Adj._OUT_VMEM_BUDGET = 18 << 20
         p2.Pallas2SwitchAdj._OUT_VMEM_BUDGET = 18 << 20
         evaluate16 = make_eval_fn(model, eval_adj_fn, node_mask_fn)
@@ -246,9 +254,12 @@ def main(smoke: bool = False):
         print(f"eval pass at 2x fold budget (g=16): {best:.3f}s", flush=True)
     except Exception as e:  # noqa: BLE001 — lever is best-effort
         results["eval_pass_fold16_s"] = None
-        print(f"fold16 eval lever failed (kept default budget): {e!r}",
-              flush=True)
-    with open("runs_r4/probe_mg_epoch.json", "w") as f:
+        print(f"fold16 eval lever failed: {e!r}", flush=True)
+    finally:
+        # anything appended after this block must run at the tested budget
+        p2.Pallas2Adj._OUT_VMEM_BUDGET = saved_budgets[0]
+        p2.Pallas2SwitchAdj._OUT_VMEM_BUDGET = saved_budgets[1]
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
 
 

@@ -244,32 +244,57 @@ def test_pallas2_matvec_batch_fold(random_graph):
             np.asarray(adj2.matvec(x)), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
-def test_pallas2_per_graph_grid_matches_padded(two_graphs):
+def test_pallas2_per_graph_grid_matches_padded():
     """per_graph_grid=True (lax.switch over per-graph true chunk counts)
     must be BIT-identical to the padded-row gather: padding chunks only ever
     add exact f32 zeros, so removing them changes no output bit — fwd and
-    grad, on every stack row (train remap + full eval stack)."""
+    grad, on EVERY train row. Three graphs of distinct chunk counts make
+    the train stack 2 rows, so the real lax.switch + p2t_remap/counts
+    alignment is exercised (a 1-row stack takes the no-switch shortcut);
+    the jit wrapper mirrors fit()'s compiled-epoch usage (the switch index
+    is a traced value there)."""
+    import networkx as nx
+
+    from gn_ode_sir_tpu.graphs.graph import graph_from_networkx
+    from gn_ode_sir_tpu.ops.pallas_spmm2 import Pallas2SwitchAdj
     from gn_ode_sir_tpu.train import multigraph_pallas2_fns
 
-    batch = pad_graphs(two_graphs, node_multiple=8, edge_multiple=16)
+    graphs = [graph_from_networkx(nx.cycle_graph(12), name="cyc12"),
+              graph_from_networkx(nx.wheel_graph(19), name="wheel19"),
+              graph_from_networkx(nx.path_graph(25), name="path25")]
+    batch = pad_graphs(graphs, node_multiple=8, edge_multiple=16)
     kw = dict(eval_graph=-1, k_edges=32, r_rows=8, interpret=True)
     tr_s, ev_s, _, aux_s = multigraph_pallas2_fns(batch, **kw)
     tr_p, ev_p, _, aux_p = multigraph_pallas2_fns(
         batch, per_graph_grid=False, **kw)
     aux_s = jax.tree_util.tree_map(jnp.asarray, aux_s)
     aux_p = jax.tree_util.tree_map(jnp.asarray, aux_p)
+    # the switch path engaged with >1 branch and distinct true counts
+    probe_adj = tr_s(jnp.zeros((1,), jnp.int32), aux_s)
+    assert isinstance(probe_adj, Pallas2SwitchAdj)
+    assert len(probe_adj.counts_fwd) == 2
+    assert probe_adj.counts_fwd[0] != probe_adj.counts_fwd[1]
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.standard_normal((2, batch.n_max, 4)), jnp.float32)
     t = jnp.asarray(rng.standard_normal((2, batch.n_max, 4)), jnp.float32)
-    for g_id, fs, fp in [(0, tr_s, tr_p), (0, ev_s, ev_p), (1, ev_s, ev_p)]:
+    for g_id, fs, fp, aa, ap in [(0, tr_s, tr_p, aux_s, aux_p),
+                                 (1, tr_s, tr_p, aux_s, aux_p),
+                                 (2, ev_s, ev_p, aux_s, aux_p)]:
+        @jax.jit
+        def out_s(xx, gi, aa=aa, fs=fs):
+            return fs(gi, aa).matvec(xx)
+
+        @jax.jit
+        def grad_s(xx, gi, aa=aa, fs=fs):
+            return jax.grad(lambda z: (fs(gi, aa).matvec(z) * t).sum())(xx)
+
         gi = jnp.full((2,), g_id, jnp.int32)
-        loss_s = lambda xx: (fs(gi, aux_s).matvec(xx) * t).sum()
-        loss_p = lambda xx: (fp(gi, aux_p).matvec(xx) * t).sum()
         np.testing.assert_array_equal(
-            np.asarray(fs(gi, aux_s).matvec(x)),
-            np.asarray(fp(gi, aux_p).matvec(x)))
+            np.asarray(out_s(x, gi)), np.asarray(fp(gi, ap).matvec(x)))
         np.testing.assert_array_equal(
-            np.asarray(jax.grad(loss_s)(x)), np.asarray(jax.grad(loss_p)(x)))
+            np.asarray(grad_s(x, gi)),
+            np.asarray(jax.grad(
+                lambda z: (fp(gi, ap).matvec(z) * t).sum())(x)))
 
 
 def test_multigraph_fit_pallas2_end_to_end(two_graphs, tmp_path):
