@@ -244,7 +244,8 @@ def test_pallas2_matvec_batch_fold(random_graph):
             np.asarray(adj2.matvec(x)), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
-def test_pallas2_per_graph_grid_matches_padded():
+@pytest.mark.parametrize("gcn_normalized", [False, True])
+def test_pallas2_per_graph_grid_matches_padded(gcn_normalized):
     """per_graph_grid=True (lax.switch over per-graph true chunk counts)
     must be BIT-identical to the padded-row gather: padding chunks only ever
     add exact f32 zeros, so removing them changes no output bit — fwd and
@@ -252,7 +253,8 @@ def test_pallas2_per_graph_grid_matches_padded():
     the train stack 2 rows, so the real lax.switch + p2t_remap/counts
     alignment is exercised (a 1-row stack takes the no-switch shortcut);
     the jit wrapper mirrors fit()'s compiled-epoch usage (the switch index
-    is a traced value there)."""
+    is a traced value there). gcn_normalized=True is the geometry the
+    GCN/GIN multigraph runs use (plans over edges + self-loops)."""
     import networkx as nx
 
     from gn_ode_sir_tpu.graphs.graph import graph_from_networkx
@@ -263,7 +265,8 @@ def test_pallas2_per_graph_grid_matches_padded():
               graph_from_networkx(nx.wheel_graph(19), name="wheel19"),
               graph_from_networkx(nx.path_graph(25), name="path25")]
     batch = pad_graphs(graphs, node_multiple=8, edge_multiple=16)
-    kw = dict(eval_graph=-1, k_edges=32, r_rows=8, interpret=True)
+    kw = dict(eval_graph=-1, k_edges=32, r_rows=8, interpret=True,
+              gcn_normalized=gcn_normalized)
     tr_s, ev_s, _, aux_s = multigraph_pallas2_fns(batch, **kw)
     tr_p, ev_p, _, aux_p = multigraph_pallas2_fns(
         batch, per_graph_grid=False, **kw)
