@@ -209,7 +209,7 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
                            eval_graph: int = -1, k_edges: int = 512,
                            r_rows: int = 128, precision: str = "f32",
                            interpret: bool | None = None,
-                           per_graph_grid: bool = True):
+                           per_graph_grid: bool | None = None):
     """Stacked-Pallas2 connectivity for multigraph runs ABOVE the dense
     limit — the backend that takes the ngraphs protocol to enron scale.
 
@@ -235,8 +235,15 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
     ``_fold_for_kernel``). Heterogeneous batching stays available via
     ``multigraph_adj_fns(kind='coo'|'dense')``.
     """
+    import os
+
     from gn_ode_sir_tpu.ops.pallas_spmm2 import adj_from_stack, stacked_plans
 
+    if per_graph_grid is None:
+        # operational escape hatch: GN_MG_PER_GRAPH_GRID=0 reverts running
+        # jobs to the padded single-kernel grid without a code edit (e.g.
+        # if the G-branch switch ever misbehaves in a remote compile)
+        per_graph_grid = os.environ.get("GN_MG_PER_GRAPH_GRID", "1") != "0"
     G = batch.num_graphs
     ev = eval_graph % G
     train_ids = [g for g in range(G) if g != ev]
