@@ -489,12 +489,12 @@ def stacked_plans(edge_lists, n_nodes: int, *, k_edges: int = 512,
     gather of one graph's plan rows is a static-shape device op and all
     batches share one compiled program.
 
-    Returns a dict with the [G, ...] plan arrays under ``_PLAN_KEYS`` plus
-    two NON-array entries, ``'counts_fwd'``/``'counts_twd'`` — static
-    per-graph true chunk-count tuples for :class:`Pallas2SwitchAdj`. POP
-    those two before shipping the dict into a jitted aux (tree-mapping them
-    to device would silently turn trace-time grid sizes into arrays); see
-    ``train.multigraph.multigraph_pallas2_fns``.
+    Returns ``(stack, counts_fwd, counts_twd)``: the dict of [G, ...] plan
+    arrays under ``_PLAN_KEYS`` (safe to ship whole into a jitted aux), and
+    two static per-graph true chunk-count tuples for
+    :class:`Pallas2SwitchAdj` — kept OUT of the dict so tree-mapping the
+    stack to device can never silently turn trace-time grid sizes into
+    arrays.
     """
     fwd, twd = [], []
     for src, dst, w in edge_lists:
@@ -514,12 +514,8 @@ def stacked_plans(edge_lists, n_nodes: int, *, k_edges: int = 512,
         for k, arr in zip(_PLAN_KEYS[4:], _pad_plan(t, c_max)):
             stacks[k].append(arr)
     out = {k: np.stack(v) for k, v in stacks.items()}
-    # static per-graph TRUE chunk counts — what Pallas2SwitchAdj slices to.
-    # Host-side tuples, NOT aux arrays: they set kernel grid sizes at trace
-    # time (callers pop them before shipping the stack into a jitted aux).
-    out["counts_fwd"] = tuple(p.num_chunks for p in fwd)
-    out["counts_twd"] = tuple(p.num_chunks for p in twd)
-    return out
+    return (out, tuple(p.num_chunks for p in fwd),
+            tuple(p.num_chunks for p in twd))
 
 
 def adj_from_stack(stack, graph_idx, n_nodes: int, *, k_edges: int,

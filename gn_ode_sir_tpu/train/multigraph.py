@@ -240,10 +240,12 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
     from gn_ode_sir_tpu.ops.pallas_spmm2 import adj_from_stack, stacked_plans
 
     if per_graph_grid is None:
-        # operational escape hatch: GN_MG_PER_GRAPH_GRID=0 reverts running
-        # jobs to the padded single-kernel grid without a code edit (e.g.
-        # if the G-branch switch ever misbehaves in a remote compile)
-        per_graph_grid = os.environ.get("GN_MG_PER_GRAPH_GRID", "1") != "0"
+        # operational escape hatch: GN_MG_PER_GRAPH_GRID=0/false/off/no
+        # reverts running jobs to the padded single-kernel grid without a
+        # code edit (e.g. if the G-branch switch ever misbehaves in a
+        # remote compile)
+        raw = os.environ.get("GN_MG_PER_GRAPH_GRID", "1").strip().lower()
+        per_graph_grid = raw not in ("0", "false", "off", "no")
     G = batch.num_graphs
     ev = eval_graph % G
     train_ids = [g for g in range(G) if g != ev]
@@ -251,21 +253,21 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
     remap[train_ids] = np.arange(len(train_ids), dtype=np.int32)
     n_max = batch.n_max
     kw = dict(k_edges=k_edges, r_rows=r_rows)
-    train_stack = stacked_plans(
+    train_stack, *t_counts = stacked_plans(
         _real_edge_lists(batch, train_ids, gcn_normalized), n_max, **kw)
-    full_stack = stacked_plans(
+    full_stack, *f_counts = stacked_plans(
         _real_edge_lists(batch, range(G), gcn_normalized), n_max, **kw)
-    # static per-graph chunk counts — trace-time values, never aux arrays
-    t_counts = (train_stack.pop("counts_fwd"), train_stack.pop("counts_twd"))
-    full_stack.pop("counts_fwd"), full_stack.pop("counts_twd")
     if not per_graph_grid:
-        t_counts = None
-    # the EVAL side keeps the padded single-kernel plan: protocol batches
-    # through eval_adj_fn are all the unseen eval graph, whose true chunk
-    # count IS the full-stack max — a per-graph switch there gains no
-    # runtime and compiles G-1 dead kernel variants through a tunnel where
-    # compiles run minutes
-    f_counts = None
+        t_counts = f_counts = None
+    elif max(f_counts[0][ev], f_counts[1][ev]) >= max(
+            max(f_counts[0]), max(f_counts[1])):
+        # reference protocol: the unseen eval graph is the LARGEST, so its
+        # true chunk count IS the full-stack max — a per-graph switch on
+        # the eval side would gain no runtime and compile G-1 dead kernel
+        # variants through a tunnel where compiles run minutes. Keep the
+        # padded single-kernel eval plan then; per-graph counts kick in
+        # only when a smaller eval graph would otherwise pay the max grid.
+        f_counts = None
     aux = {"node_mask": batch.node_mask, "p2t_remap": remap}
     aux.update({f"p2t_{k}": v for k, v in train_stack.items()})
     aux.update({f"p2f_{k}": v for k, v in full_stack.items()})

@@ -250,8 +250,18 @@ def main(smoke: bool = False):
             t0 = time.perf_counter()
             float(evaluate16(params, d, val_bi, val_bw))
             best = min(best, time.perf_counter() - t0)
+        # record the fold group ACHIEVED (it is an implicit function of
+        # n_pad and the patched budget — if geometry changes push it back
+        # to the baseline g, this A/B silently compares identical programs)
+        bval = int(val_bi.shape[1])
+        g16 = min(bval,
+                  p2._fold_group_limit(batch.n_max, 128, 18 << 20) // HIDDEN)
+        g_base = min(bval, p2._fold_group_limit(batch.n_max, 128,
+                                                saved_budgets[0]) // HIDDEN)
         results["eval_pass_fold16_s"] = best
-        print(f"eval pass at 2x fold budget (g=16): {best:.3f}s", flush=True)
+        results["eval_fold_groups"] = {"base": g_base, "lever": g16}
+        print(f"eval pass at 2x fold budget (g={g16} vs base {g_base}): "
+              f"{best:.3f}s", flush=True)
     except Exception as e:  # noqa: BLE001 — lever is best-effort
         results["eval_pass_fold16_s"] = None
         print(f"fold16 eval lever failed: {e!r}", flush=True)
