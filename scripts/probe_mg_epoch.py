@@ -113,9 +113,10 @@ def main(smoke: bool = False):
     optimizer = optax.adam(1e-3)
     results = {}
 
-    def time_epoch(precision, bs, tag, per_graph_grid=True):
+    def time_epoch(precision, bs, tag, per_graph_grid=True, **plan_kw):
         adj_fn, eval_adj_fn, node_mask_fn, adj_aux = multigraph_pallas2_fns(
-            batch, precision=precision, per_graph_grid=per_graph_grid)
+            batch, precision=precision, per_graph_grid=per_graph_grid,
+            **plan_kw)
         d = _data_to_device(data)
         d["__adj_aux__"] = jax.tree_util.tree_map(jnp.asarray, adj_aux)
         opt_state = optimizer.init(params)
@@ -139,7 +140,7 @@ def main(smoke: bool = False):
         results[tag] = {"epoch_s": best, "steps": int(bi.shape[0]),
                         "batch": bs, "precision": precision,
                         "per_graph_grid": per_graph_grid,
-                        "compile_s": compile_s}
+                        "compile_s": compile_s, **plan_kw}
         print(f"{tag}: {bi.shape[0]} steps @ batch {bs} prec={precision}: "
               f"{best:.3f}s (compile {compile_s:.0f}s)", flush=True)
         return adj_fn, eval_adj_fn, node_mask_fn, d, bi
@@ -206,6 +207,12 @@ def main(smoke: bool = False):
     time_epoch("bf16", 8, "epoch_bf16_b8")
     time_epoch("f32", 16, "epoch_f32_b16")
     time_epoch("f32", 24, "epoch_f32_b24")
+    # chunk geometry: the 5 ms/apply enron kernel sits far off the HBM
+    # roofline, pointing at per-chunk fixed costs — double K at the same R
+    # halves grid steps without growing the one-hot rows (VMEM: the msgs
+    # block grows to k*h*4 ~ 512 KB, well inside the budget formula)
+    time_epoch("f32", 8, "epoch_f32_b8_k1024", k_edges=1024, r_rows=128)
+    time_epoch("f32", 8, "epoch_f32_b8_k2048", k_edges=2048, r_rows=128)
 
     # eval share (runs every epoch in fit): 60 val trials on the unseen graph
     evaluate = make_eval_fn(model, eval_adj_fn, node_mask_fn)
