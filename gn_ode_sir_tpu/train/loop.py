@@ -36,7 +36,8 @@ def _data_to_device(data: TrialData) -> dict:
     }
 
 
-def _batch_loss(model, params, adj_fn, node_mask_fn, d, bidx, bw, rng=None, train=False):
+def _batch_loss(model, params, adj_fn, node_mask_fn, d, bidx, bw, rng=None,
+                train=False, n_view=None):
     gi = d["graph_idx"][bidx]
     # adjacency/mask arrays ride inside `d` ("__adj_aux__") so they are jit
     # ARGUMENTS — a closure-captured device array would be baked into the
@@ -47,26 +48,45 @@ def _batch_loss(model, params, adj_fn, node_mask_fn, d, bidx, bw, rng=None, trai
         node_mask = None
     else:
         node_mask = node_mask_fn(gi) if aux is None else node_mask_fn(gi, aux)
+        node_mask = node_mask[:, :n_view]
+    # ``n_view`` slices the node axis down to this program's bucket width
+    # (e.g. the largest TRAIN graph in a multigraph run whose unseen eval
+    # graph sets a much larger global n_max). Rows >= n_view are all-padding
+    # for every trial this program sees (mask-zeroed, label 0), so the math
+    # is unchanged — only the n-proportional HBM traffic shrinks. XLA fuses
+    # the slice into the ``[bidx]`` gather; with n_view=None it is a no-op.
     pred = model.predict(
         params,
         adj,
-        d["s0"][bidx],
-        d["i0"][bidx],
-        d["r0"][bidx],
+        d["s0"][bidx][:, :n_view],
+        d["i0"][bidx][:, :n_view],
+        d["r0"][bidx][:, :n_view],
         d["beta"][bidx],
         d["gamma"][bidx],
         rng=rng,
         train=train,
     )
-    loss = l1_sir_loss(pred, d["labels"][bidx], trial_weight=bw, node_mask=node_mask)
+    loss = l1_sir_loss(pred, d["labels"][bidx][:, :, :n_view], trial_weight=bw,
+                       node_mask=node_mask)
     # item count for reference-style weighted aggregation (ode_nn_ngraph_sim.py:248)
-    n_eff = node_mask.sum(1) if node_mask is not None else d["s0"].shape[1]
+    if node_mask is not None:
+        n_eff = node_mask.sum(1)
+    else:
+        n_eff = n_view if n_view is not None else d["s0"].shape[1]
     items = 3.0 * (d["labels"].shape[1] - 1) * (bw * n_eff).sum()
     return loss, items
 
 
-def make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn=None) -> Callable:
-    """One-jit whole-epoch trainer: scan over minibatch index rows."""
+def make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn=None,
+                        n_view=None) -> Callable:
+    """One-jit whole-epoch trainer: scan over minibatch index rows.
+
+    ``n_view`` (see :func:`_batch_loss`) runs the whole compiled epoch at a
+    node-bucket width smaller than the data's global padding — the adjacency
+    returned by ``adj_fn`` must be built for the same width. ``fit`` resolves
+    it automatically from ``adj_fn.n_view`` when the connectivity provider
+    declares one (``multigraph_pallas2_fns``).
+    """
 
     @jax.jit
     def train_epoch(params, opt_state, d, batch_idx, batch_w, rng_key):
@@ -77,7 +97,8 @@ def make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn=None) -> Callable
 
             def loss_fn(p):
                 loss, items = _batch_loss(
-                    model, p, adj_fn, node_mask_fn, d, bidx, bw, rng=rng, train=True
+                    model, p, adj_fn, node_mask_fn, d, bidx, bw, rng=rng,
+                    train=True, n_view=n_view
                 )
                 return loss, items
 
@@ -95,14 +116,15 @@ def make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn=None) -> Callable
     return train_epoch
 
 
-def make_eval_fn(model, adj_fn, node_mask_fn=None) -> Callable:
+def make_eval_fn(model, adj_fn, node_mask_fn=None, n_view=None) -> Callable:
     """Batched evaluation scan returning the item-weighted mean L1."""
 
     @jax.jit
     def evaluate(params, d, batch_idx, batch_w):
         def step(_, xs):
             bidx, bw = xs
-            loss, items = _batch_loss(model, params, adj_fn, node_mask_fn, d, bidx, bw)
+            loss, items = _batch_loss(model, params, adj_fn, node_mask_fn, d,
+                                      bidx, bw, n_view=n_view)
             return 0, (loss * items, items)
 
         _, (loss_sums, item_counts) = jax.lax.scan(step, 0, (batch_idx, batch_w))
@@ -111,7 +133,7 @@ def make_eval_fn(model, adj_fn, node_mask_fn=None) -> Callable:
     return evaluate
 
 
-def make_eval_per_trial_fn(model, adj_fn, node_mask_fn=None) -> Callable:
+def make_eval_per_trial_fn(model, adj_fn, node_mask_fn=None, n_view=None) -> Callable:
     """Per-trial evaluation: loss vector [len(idx)], one entry per trial.
 
     The reference's ``test`` collects a per-batch loss list ``test_loss_all``
@@ -126,7 +148,8 @@ def make_eval_per_trial_fn(model, adj_fn, node_mask_fn=None) -> Callable:
         def step(_, i):
             bidx = i[None]
             loss, _ = _batch_loss(
-                model, params, adj_fn, node_mask_fn, d, bidx, jnp.ones((1,))
+                model, params, adj_fn, node_mask_fn, d, bidx, jnp.ones((1,)),
+                n_view=n_view
             )
             return 0, loss
 
@@ -209,15 +232,36 @@ def fit(
                 "plan to the whole minibatch: it requires graph-homogeneous "
                 "batches — call fit(..., batch_by_graph=True)"
             )
+    # node-view adjacencies are only valid for the graphs they were built
+    # for — a trial of a larger graph would silently lose its high rows
+    ok_graphs = getattr(adj_fn, "valid_train_graphs", None)
+    if ok_graphs is not None:
+        bad = set(int(g) for g in np.asarray(data.graph_idx)[
+            np.asarray(train_idx, np.int64)]) - set(ok_graphs)
+        if bad:
+            raise ValueError(
+                f"train_idx contains trials of graphs {sorted(bad)}, but the "
+                f"train adjacency's node view only covers graphs "
+                f"{sorted(ok_graphs)} (the non-eval bucket). Pass the "
+                "protocol train split, or rebuild connectivity with "
+                "train_node_view=False."
+            )
     d = _data_to_device(data)
     if adj_aux is not None:
         d["__adj_aux__"] = jax.tree_util.tree_map(jnp.asarray, adj_aux)
     opt_state = optimizer.init(params)
-    train_epoch = make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn)
+    # connectivity providers that build their adjacency at a node-bucket
+    # width below the data's global padding declare it on the fn (attribute
+    # convention like requires_grouped_batches); the train program then runs
+    # at that width — same math (sliced rows are all-padding), less traffic
+    train_epoch = make_train_epoch_fn(
+        model, optimizer, adj_fn, node_mask_fn,
+        n_view=getattr(adj_fn, "n_view", None))
     e_adj_fn = eval_adj_fn or adj_fn
-    evaluate = make_eval_fn(model, e_adj_fn, node_mask_fn)
+    e_n_view = getattr(e_adj_fn, "n_view", None)
+    evaluate = make_eval_fn(model, e_adj_fn, node_mask_fn, n_view=e_n_view)
     evaluate_per_trial = (
-        make_eval_per_trial_fn(model, e_adj_fn, node_mask_fn)
+        make_eval_per_trial_fn(model, e_adj_fn, node_mask_fn, n_view=e_n_view)
         if track_test_per_trial else None
     )
 

@@ -93,9 +93,16 @@ def multigraph_auto_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
     ``interpret``, ``per_graph_grid``) reaches
     :func:`multigraph_pallas2_fns` when that backend is selected.
     """
+    import os
+
+    # operational escape hatch (mirrors GN_MG_PER_GRAPH_GRID): turn the
+    # train-side node view off for running jobs without a code edit
+    _nv_raw = os.environ.get("GN_MG_TRAIN_NODE_VIEW", "1").strip().lower()
+    node_view_default = _nv_raw not in ("0", "false", "off", "no")
     if kind == "auto":
         kind = resolve_mg_kind(batch, gcn_normalized=gcn_normalized)
     if kind == "pallas2":
+        pallas_kw.setdefault("train_node_view", node_view_default)
         tr_fn, ev_fn, mask_fn, aux = multigraph_pallas2_fns(
             batch, gcn_normalized=gcn_normalized, eval_graph=eval_graph,
             **pallas_kw)
@@ -112,7 +119,36 @@ def multigraph_auto_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
         )
     adj_fn, mask_fn, aux = multigraph_adj_fns(
         batch, gcn_normalized=gcn_normalized, kind=kind)
-    return MultigraphConnectivity(adj_fn, adj_fn, mask_fn, aux, False, kind)
+    train_fn = adj_fn
+    G = batch.num_graphs
+    if kind == "dense" and G > 1 and node_view_default:
+        # train-side node view for the dense backend too: the unseen-graph
+        # protocol means no TRAIN trial ever needs the eval graph's rows, so
+        # a pre-sliced train stack cuts each train step's [B, n, n] @
+        # [B, n, h] MXU work by (n_max/n_train)^2 (wiki-vote-unseen config:
+        # 5.8x). Sliced on host once — slicing the gathered batch inside jit
+        # would rely on XLA fusing slice-into-gather to avoid materializing
+        # the full-width blocks.
+        ev = eval_graph % G
+        train_ids = [g for g in range(G) if g != ev]
+        n_train = int(max(int(batch.n_nodes[g]) for g in train_ids))
+        n_train = min(batch.n_max, -(-n_train // 128) * 128)
+        if n_train < batch.n_max:
+            dense = np.asarray(aux["dense"])
+            remap = np.zeros(G, np.int32)
+            remap[train_ids] = np.arange(len(train_ids), dtype=np.int32)
+            aux = dict(aux)
+            aux["dense_train"] = jnp.asarray(np.ascontiguousarray(
+                dense[np.asarray(train_ids)][:, :n_train, :n_train]))
+            aux["dense_train_remap"] = jnp.asarray(remap)
+
+            def train_fn(graph_idx, a):
+                row = a["dense_train_remap"][graph_idx]
+                return DenseAdj(a["dense_train"][row])
+
+            train_fn.n_view = n_train
+            train_fn.valid_train_graphs = frozenset(train_ids)
+    return MultigraphConnectivity(train_fn, adj_fn, mask_fn, aux, False, kind)
 
 
 def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False,
@@ -209,7 +245,8 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
                            eval_graph: int = -1, k_edges: int = 512,
                            r_rows: int = 128, precision: str = "f32",
                            interpret: bool | None = None,
-                           per_graph_grid: bool | None = None):
+                           per_graph_grid: bool | None = None,
+                           train_node_view: bool = False):
     """Stacked-Pallas2 connectivity for multigraph runs ABOVE the dense
     limit — the backend that takes the ngraphs protocol to enron scale.
 
@@ -234,6 +271,16 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
     builds them; the kernel then folds the whole batch into one grid pass —
     ``_fold_for_kernel``). Heterogeneous batching stays available via
     ``multigraph_adj_fns(kind='coo'|'dense')``.
+
+    ``train_node_view=True`` builds the TRAIN adjacency at the train
+    bucket's node width (largest non-eval graph, rounded up to 128) and
+    declares it via ``train_adj_fn.n_view`` so :func:`fit` runs the whole
+    compiled train epoch at that width — at the reference enron protocol
+    the unseen eval graph sets n_max=33,696 while no train graph exceeds
+    7,066, and the probe showed train-step cost is dominated by
+    n_max-proportional HBM traffic (RESULTS.md round 4). Off by default:
+    direct callers of ``train_adj_fn`` (SPMD steps, kernel A/B tests) feed
+    full-width states; :func:`multigraph_auto_fns` turns it on.
     """
     import os
 
@@ -275,12 +322,25 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
     def node_mask_fn(graph_idx, aux):
         return aux["node_mask"][graph_idx]
 
+    # train bucket width: the largest non-eval graph, rounded up to 128 for
+    # tile-friendly [n, h] sublanes; plan chunk arrays are edge-derived so
+    # the SAME train stack serves any output width >= the real node counts
+    n_train = int(max(int(batch.n_nodes[g]) for g in train_ids))
+    n_train = min(n_max, -(-n_train // 128) * 128)
+    n_t = n_train if (train_node_view and n_train < n_max) else n_max
+
     def train_adj_fn(graph_idx, aux):
         row = aux["p2t_remap"][jnp.asarray(graph_idx).reshape(-1)[0]]
         stack = {k: aux[f"p2t_{k}"] for k in train_stack}
-        return adj_from_stack(stack, row, n_max, k_edges=k_edges,
+        return adj_from_stack(stack, row, n_t, k_edges=k_edges,
                               r_rows=r_rows, interpret=interpret,
                               precision=precision, counts=t_counts)
+
+    if n_t < n_max:
+        train_adj_fn.n_view = n_t
+        # fit() validates train_idx stays inside these graphs: a trial of
+        # the eval graph under the narrowed view would silently lose nodes
+        train_adj_fn.valid_train_graphs = frozenset(train_ids)
 
     def eval_adj_fn(graph_idx, aux):
         stack = {k: aux[f"p2f_{k}"] for k in full_stack}

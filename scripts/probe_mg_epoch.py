@@ -143,7 +143,8 @@ def main(smoke: bool = False, eval_only: bool = False):
         d = _data_to_device(data)
         d["__adj_aux__"] = jax.tree_util.tree_map(jnp.asarray, adj_aux)
         opt_state = optimizer.init(params)
-        train_epoch = make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn)
+        train_epoch = make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn,
+                                          n_view=getattr(adj_fn, "n_view", None))
         bi, bw = epoch_batches_grouped(tr, data.graph_idx, bs,
                                        np.random.default_rng(0))
         key = jax.random.PRNGKey(1)
@@ -257,6 +258,11 @@ def main(smoke: bool = False, eval_only: bool = False):
         # pad to ~30% dead edges — K=512 stays the default
         try_epoch("f32", 8, "epoch_f32_b8_k1024", k_edges=1024, r_rows=128)
         try_epoch("f32", 8, "epoch_f32_b8_k2048", k_edges=2048, r_rows=128)
+        # train-side node view (round-4 lever, default-on in the auto path):
+        # the train epoch runs at the largest TRAIN graph's bucket width
+        # (wiki-vote 7,066 -> 7,168) instead of the eval graph's n_max
+        # (33,696) — same math, ~4.7x less n-proportional HBM traffic
+        try_epoch("f32", 8, "epoch_f32_b8_nodeview", train_node_view=True)
         # riskiest epoch lever LAST (OOMed once already at this scale)
         try_epoch("f32", 24, "epoch_f32_b24")
 

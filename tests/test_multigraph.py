@@ -453,3 +453,108 @@ def test_multigraph_auto_fns_warns_on_unused_pallas_kwargs(two_graphs):
         warnings.simplefilter("always")
         multigraph_auto_fns(batch)
     assert not w
+
+def _node_view_setup(tmp_path, sim=60, max_time=6):
+    """Graphs where the train bucket (128) is genuinely below n_max (~200):
+    the node-view path only engages when rounding the largest TRAIN graph
+    up to 128 still undercuts the eval graph's padding."""
+    import networkx as nx
+
+    graphs = [graph_from_networkx(nx.cycle_graph(30), name="cyc30"),
+              graph_from_networkx(nx.path_graph(200), name="path200")]
+    rng = np.random.default_rng(21)
+    counts = [4, 6]
+    per_graph = [
+        [([int(x) for x in rng.choice(g.n_nodes, 2, replace=False)],
+          float(rng.uniform(0.1, 0.5)), float(rng.uniform(0.1, 0.5)))
+         for _ in range(c)]
+        for g, c in zip(graphs, counts)
+    ]
+    batch, data = assemble_multigraph_trials(
+        graphs, per_graph, sim=sim, max_time=max_time,
+        label_dirs=[str(tmp_path / g.name) for g in graphs],
+    )
+    return batch, data, multigraph_split(counts)
+
+
+def test_train_node_view_pallas2_matches_full_width(tmp_path, monkeypatch):
+    """multigraph_auto_fns' pallas2 path trains at the TRAIN bucket's node
+    width (adj_fn.n_view) — the probe-measured enron lever (RESULTS.md r4:
+    train-step cost is n_max-proportional HBM traffic). Sliced rows are
+    all-padding for every train trial, so the whole training trace must
+    match the full-width run."""
+    import jax as jax_mod
+
+    import gn_ode_sir_tpu.train.multigraph as mg
+    from gn_ode_sir_tpu.train import multigraph_auto_fns, multigraph_pallas2_fns
+
+    batch, data, (tr, va, te) = _node_view_setup(tmp_path)
+    monkeypatch.setattr(mg, "MG_DENSE_BYTES_LIMIT", 1)
+    monkeypatch.setattr(jax_mod, "default_backend", lambda: "tpu")
+    conn = multigraph_auto_fns(batch, k_edges=32, r_rows=8, interpret=True)
+    assert conn.kind == "pallas2"
+    assert conn.adj_fn.n_view == 128  # cyc30 -> 128 < n_max (200)
+    assert conn.adj_fn.valid_train_graphs == frozenset([0])
+    assert not hasattr(conn.eval_adj_fn, "n_view")  # eval at full width
+
+    model = GNODE(hidden=8, max_time=6)
+    params = model.init(jax.random.PRNGKey(0))
+    res_v = fit(model, optax.adam(1e-2), params, data, tr, va, te,
+                **conn.fit_kwargs(), epochs=3, batch_size=4, verbose=False)
+
+    tr_fn, ev_fn, mask_fn, aux_p = multigraph_pallas2_fns(
+        batch, eval_graph=-1, k_edges=32, r_rows=8, interpret=True,
+        train_node_view=False)
+    assert not hasattr(tr_fn, "n_view")
+    res_f = fit(model, optax.adam(1e-2), params, data, tr, va, te, tr_fn,
+                adj_aux=aux_p, eval_adj_fn=ev_fn, batch_by_graph=True,
+                node_mask_fn=mask_fn, epochs=3, batch_size=4, verbose=False)
+    # same batches, same kernels, only reduction shapes differ
+    for (e1, tl1, vl1), (e2, tl2, vl2) in zip(res_v.history, res_f.history):
+        np.testing.assert_allclose(tl1, tl2, rtol=1e-5)
+        np.testing.assert_allclose(vl1, vl2, rtol=1e-5)
+    np.testing.assert_allclose(res_v.test_loss, res_f.test_loss, rtol=1e-5)
+
+
+def test_train_node_view_dense_matches_full_width(tmp_path, monkeypatch):
+    """The dense backend's pre-sliced train stack (aux['dense_train']) must
+    reproduce the full-width dense run's training trace, and the env escape
+    hatch must disable the view."""
+    from gn_ode_sir_tpu.train import multigraph_auto_fns
+
+    batch, data, (tr, va, te) = _node_view_setup(tmp_path)
+    conn = multigraph_auto_fns(batch, kind="dense")
+    assert conn.adj_fn.n_view == 128
+    assert "dense_train" in conn.aux
+
+    monkeypatch.setenv("GN_MG_TRAIN_NODE_VIEW", "0")
+    conn_f = multigraph_auto_fns(batch, kind="dense")
+    assert not hasattr(conn_f.adj_fn, "n_view")
+    assert "dense_train" not in conn_f.aux
+
+    model = GNODE(hidden=8, max_time=6)
+    params = model.init(jax.random.PRNGKey(0))
+    res_v = fit(model, optax.adam(1e-2), params, data, tr, va, te,
+                **conn.fit_kwargs(), epochs=3, batch_size=4, verbose=False)
+    res_f = fit(model, optax.adam(1e-2), params, data, tr, va, te,
+                **conn_f.fit_kwargs(), epochs=3, batch_size=4, verbose=False)
+    for (e1, tl1, vl1), (e2, tl2, vl2) in zip(res_v.history, res_f.history):
+        np.testing.assert_allclose(tl1, tl2, rtol=1e-5)
+        np.testing.assert_allclose(vl1, vl2, rtol=1e-5)
+    np.testing.assert_allclose(res_v.test_loss, res_f.test_loss, rtol=1e-5)
+
+
+def test_train_node_view_refuses_eval_graph_trials(tmp_path):
+    """A node-view adjacency fed eval-graph trials in train_idx would
+    silently drop their high rows; fit() must refuse loudly."""
+    from gn_ode_sir_tpu.train import multigraph_auto_fns
+
+    batch, data, (tr, va, te) = _node_view_setup(tmp_path)
+    conn = multigraph_auto_fns(batch, kind="dense")
+    assert conn.adj_fn.n_view == 128
+    model = GNODE(hidden=8, max_time=6)
+    params = model.init(jax.random.PRNGKey(0))
+    bad_tr = np.concatenate([tr, va[:1]])  # one unseen-graph trial
+    with pytest.raises(ValueError, match="node view"):
+        fit(model, optax.adam(1e-2), params, data, bad_tr, va, te,
+            **conn.fit_kwargs(), epochs=1, batch_size=4, verbose=False)
