@@ -169,6 +169,14 @@ def main(smoke: bool = False, eval_only: bool = False):
               f"{best:.3f}s (compile {compile_s:.0f}s)", flush=True)
         return adj_fn, eval_adj_fn, node_mask_fn, d, bi
 
+    # GN_PROBE_LEVERS=tag1,tag2 reruns ONLY those levers (plus the base
+    # epoch they compare against), merge-patching the artifact — each lever
+    # costs a multi-minute remote compile, so measuring one new lever must
+    # not re-pay for the whole grid. Add "eval"/"floor" to the list to
+    # include those sections.
+    only = os.environ.get("GN_PROBE_LEVERS")
+    only = set(only.split(",")) if only else None
+
     if eval_only:
         # fresh-process patch run: measure ONLY the eval pass (+ fold16
         # lever) and merge into the existing artifact — the full run's
@@ -180,59 +188,60 @@ def main(smoke: bool = False, eval_only: bool = False):
     else:
         adj_fn, eval_adj_fn, node_mask_fn, d, bi = time_epoch("f32", 8, "epoch_f32_b8")
 
-        # kernel floor: same matvec count/widths as the f32 b8 epoch, nothing
-        # else. Steps group by graph; count steps per train graph from bi's rows.
-        gi_rows = np.asarray(data.graph_idx)[np.asarray(bi[:, 0])]
-        aux = d["__adj_aux__"]
-        floor_total = 0.0
-        for g_i in sorted(set(int(g) for g in gi_rows)):
-            n_steps = int((gi_rows == g_i).sum())
-            chain = n_steps * F_EVALS
-            adj = adj_fn(jnp.full((8,), g_i, jnp.int32), aux)
-            x0 = jnp.asarray(
-                np.random.default_rng(0).random((8, batch.n_max, HIDDEN)),
-                jnp.float32)
+        if only is None or "floor" in only:
+            # kernel floor: same matvec count/widths as the f32 b8 epoch, nothing
+            # else. Steps group by graph; count steps per train graph from bi's rows.
+            gi_rows = np.asarray(data.graph_idx)[np.asarray(bi[:, 0])]
+            aux = d["__adj_aux__"]
+            floor_total = 0.0
+            for g_i in sorted(set(int(g) for g in gi_rows)):
+                n_steps = int((gi_rows == g_i).sum())
+                chain = n_steps * F_EVALS
+                adj = adj_fn(jnp.full((8,), g_i, jnp.int32), aux)
+                x0 = jnp.asarray(
+                    np.random.default_rng(0).random((8, batch.n_max, HIDDEN)),
+                    jnp.float32)
 
-            # adj rides in as a jit ARGUMENT — closure-captured device arrays
-            # become HLO constants and blow the remote compile (CLAUDE.md); the
-            # real epoch path threads adj_aux as an argument too, so this keeps
-            # the floor measurement comparable
-            @partial(jax.jit, static_argnames=("length",))
-            def run_chain(adj, x, length):
-                def body(y, _):
-                    y = adj.matvec(y)
-                    return y / (jnp.abs(y).max() + 1e-6), None
-                y, _ = jax.lax.scan(body, x, None, length=length)
-                return y
+                # adj rides in as a jit ARGUMENT — closure-captured device arrays
+                # become HLO constants and blow the remote compile (CLAUDE.md); the
+                # real epoch path threads adj_aux as an argument too, so this keeps
+                # the floor measurement comparable
+                @partial(jax.jit, static_argnames=("length",))
+                def run_chain(adj, x, length):
+                    def body(y, _):
+                        y = adj.matvec(y)
+                        return y / (jnp.abs(y).max() + 1e-6), None
+                    y, _ = jax.lax.scan(body, x, None, length=length)
+                    return y
 
-            float(np.asarray(run_chain(adj, x0, chain)).sum())  # compile
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(np.asarray(run_chain(adj, x0, chain)).sum())
-                best = min(best, time.perf_counter() - t0)
-            floor_total += best
-            print(f"  kernel floor graph {g_i} ({names[g_i]}): {n_steps} steps "
-                  f"x {F_EVALS} matvecs = {chain}: {best:.3f}s", flush=True)
-        results["kernel_floor_s"] = floor_total
-        print(f"kernel floor total: {floor_total:.3f}s "
-              f"({100 * floor_total / results['epoch_f32_b8']['epoch_s']:.0f}% "
-              f"of epoch)", flush=True)
+                float(np.asarray(run_chain(adj, x0, chain)).sum())  # compile
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(np.asarray(run_chain(adj, x0, chain)).sum())
+                    best = min(best, time.perf_counter() - t0)
+                floor_total += best
+                print(f"  kernel floor graph {g_i} ({names[g_i]}): {n_steps} steps "
+                      f"x {F_EVALS} matvecs = {chain}: {best:.3f}s", flush=True)
+            results["kernel_floor_s"] = floor_total
+            print(f"kernel floor total: {floor_total:.3f}s "
+                  f"({100 * floor_total / results['epoch_f32_b8']['epoch_s']:.0f}% "
+                  f"of epoch)", flush=True)
 
-        # absolute utilization vs the v5e roofline (utils/roofline.py)
-        from gn_ode_sir_tpu.utils.roofline import mg_train_epoch_model, utilization
+            # absolute utilization vs the v5e roofline (utils/roofline.py)
+            from gn_ode_sir_tpu.utils.roofline import mg_train_epoch_model, utilization
 
-        steps_edges = [
-            (int((gi_rows == g_i).sum()), len(graphs[g_i].src))
-            for g_i in sorted(set(int(g) for g in gi_rows))
-        ]
-        util = utilization(
-            mg_train_epoch_model(batch.n_max, HIDDEN, 8, steps_edges, F_EVALS),
-            results["epoch_f32_b8"]["epoch_s"],
-        )
-        results["epoch_f32_b8"]["utilization"] = util
-        print(f"epoch utilization: mfu={util['mfu']:.4f} "
-              f"hbm_frac={util['hbm_frac']:.4f}", flush=True)
+            steps_edges = [
+                (int((gi_rows == g_i).sum()), len(graphs[g_i].src))
+                for g_i in sorted(set(int(g) for g in gi_rows))
+            ]
+            util = utilization(
+                mg_train_epoch_model(batch.n_max, HIDDEN, 8, steps_edges, F_EVALS),
+                results["epoch_f32_b8"]["epoch_s"],
+            )
+            results["epoch_f32_b8"]["utilization"] = util
+            print(f"epoch utilization: mfu={util['mfu']:.4f} "
+                  f"hbm_frac={util['hbm_frac']:.4f}", flush=True)
 
         # levers (epoch_f32_b8 above already runs the round-4 default:
         # per-graph chunk grids via Pallas2SwitchAdj). A lever can legitimately
@@ -241,6 +250,8 @@ def main(smoke: bool = False, eval_only: bool = False):
         # and flush results to disk after every lever so a hard crash still
         # leaves the partial artifact.
         def try_epoch(precision, bs, tag, **kw):
+            if only is not None and tag not in only:
+                return
             try:
                 time_epoch(precision, bs, tag, **kw)
             except Exception as e:  # noqa: BLE001 — levers are best-effort
@@ -266,65 +277,66 @@ def main(smoke: bool = False, eval_only: bool = False):
         # riskiest epoch lever LAST (OOMed once already at this scale)
         try_epoch("f32", 24, "epoch_f32_b24")
 
-    # eval share (runs every epoch in fit): 60 val trials on the unseen graph
-    val_bi, val_bw = epoch_batches_grouped(va, data.graph_idx, 60, None)
-    try:
-        evaluate = make_eval_fn(model, eval_adj_fn, node_mask_fn)
-        float(evaluate(params, d, val_bi, val_bw))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
+    if eval_only or only is None or "eval" in only:
+        # eval share (runs every epoch in fit): 60 val trials on the unseen graph
+        val_bi, val_bw = epoch_batches_grouped(va, data.graph_idx, 60, None)
+        try:
+            evaluate = make_eval_fn(model, eval_adj_fn, node_mask_fn)
             float(evaluate(params, d, val_bi, val_bw))
-            best = min(best, time.perf_counter() - t0)
-        results["eval_pass_s"] = best
-        print(f"eval pass (60 unseen-graph trials, 1 batch): {best:.3f}s",
-              flush=True)
-    except Exception as e:  # noqa: BLE001
-        results["eval_pass_s"] = {"error": repr(e)[:300]}
-        print(f"eval pass FAILED: {e!r}", flush=True)
-    flush()
-    print(f"wrote {out_path}", flush=True)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(evaluate(params, d, val_bi, val_bw))
+                best = min(best, time.perf_counter() - t0)
+            results["eval_pass_s"] = best
+            print(f"eval pass (60 unseen-graph trials, 1 batch): {best:.3f}s",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            results["eval_pass_s"] = {"error": repr(e)[:300]}
+            print(f"eval pass FAILED: {e!r}", flush=True)
+        flush()
+        print(f"wrote {out_path}", flush=True)
 
-    # RISKY lever LAST (main results are already on disk): double the
-    # kernel's fold budget so the 60-trial eval folds to g=16 (4 kernel
-    # passes per f-eval instead of 8; ~17 MB VMEM out block — the
-    # vmem_limit formula in _spmm2_call requests 2.2x output + margin, but
-    # this footprint is UNTESTED on hardware and a Mosaic fault can wedge
-    # the tunnel ~15 min, so it must not gate anything above).
-    from gn_ode_sir_tpu.ops import pallas_spmm2 as p2
+        # RISKY lever LAST (main results are already on disk): double the
+        # kernel's fold budget so the 60-trial eval folds to g=16 (4 kernel
+        # passes per f-eval instead of 8; ~17 MB VMEM out block — the
+        # vmem_limit formula in _spmm2_call requests 2.2x output + margin, but
+        # this footprint is UNTESTED on hardware and a Mosaic fault can wedge
+        # the tunnel ~15 min, so it must not gate anything above).
+        from gn_ode_sir_tpu.ops import pallas_spmm2 as p2
 
-    saved_budgets = (p2.Pallas2Adj._OUT_VMEM_BUDGET,
-                     p2.Pallas2SwitchAdj._OUT_VMEM_BUDGET)
-    try:
-        p2.Pallas2Adj._OUT_VMEM_BUDGET = 18 << 20
-        p2.Pallas2SwitchAdj._OUT_VMEM_BUDGET = 18 << 20
-        evaluate16 = make_eval_fn(model, eval_adj_fn, node_mask_fn)
-        float(evaluate16(params, d, val_bi, val_bw))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
+        saved_budgets = (p2.Pallas2Adj._OUT_VMEM_BUDGET,
+                         p2.Pallas2SwitchAdj._OUT_VMEM_BUDGET)
+        try:
+            p2.Pallas2Adj._OUT_VMEM_BUDGET = 18 << 20
+            p2.Pallas2SwitchAdj._OUT_VMEM_BUDGET = 18 << 20
+            evaluate16 = make_eval_fn(model, eval_adj_fn, node_mask_fn)
             float(evaluate16(params, d, val_bi, val_bw))
-            best = min(best, time.perf_counter() - t0)
-        # record the fold group ACHIEVED (it is an implicit function of
-        # n_pad and the patched budget — if geometry changes push it back
-        # to the baseline g, this A/B silently compares identical programs)
-        bval = int(val_bi.shape[1])
-        g16 = min(bval,
-                  p2._fold_group_limit(batch.n_max, 128, 18 << 20) // HIDDEN)
-        g_base = min(bval, p2._fold_group_limit(batch.n_max, 128,
-                                                saved_budgets[0]) // HIDDEN)
-        results["eval_pass_fold16_s"] = best
-        results["eval_fold_groups"] = {"base": g_base, "lever": g16}
-        print(f"eval pass at 2x fold budget (g={g16} vs base {g_base}): "
-              f"{best:.3f}s", flush=True)
-    except Exception as e:  # noqa: BLE001 — lever is best-effort
-        results["eval_pass_fold16_s"] = None
-        print(f"fold16 eval lever failed: {e!r}", flush=True)
-    finally:
-        # anything appended after this block must run at the tested budget
-        p2.Pallas2Adj._OUT_VMEM_BUDGET = saved_budgets[0]
-        p2.Pallas2SwitchAdj._OUT_VMEM_BUDGET = saved_budgets[1]
-    flush()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(evaluate16(params, d, val_bi, val_bw))
+                best = min(best, time.perf_counter() - t0)
+            # record the fold group ACHIEVED (it is an implicit function of
+            # n_pad and the patched budget — if geometry changes push it back
+            # to the baseline g, this A/B silently compares identical programs)
+            bval = int(val_bi.shape[1])
+            g16 = min(bval,
+                      p2._fold_group_limit(batch.n_max, 128, 18 << 20) // HIDDEN)
+            g_base = min(bval, p2._fold_group_limit(batch.n_max, 128,
+                                                    saved_budgets[0]) // HIDDEN)
+            results["eval_pass_fold16_s"] = best
+            results["eval_fold_groups"] = {"base": g_base, "lever": g16}
+            print(f"eval pass at 2x fold budget (g={g16} vs base {g_base}): "
+                  f"{best:.3f}s", flush=True)
+        except Exception as e:  # noqa: BLE001 — lever is best-effort
+            results["eval_pass_fold16_s"] = None
+            print(f"fold16 eval lever failed: {e!r}", flush=True)
+        finally:
+            # anything appended after this block must run at the tested budget
+            p2.Pallas2Adj._OUT_VMEM_BUDGET = saved_budgets[0]
+            p2.Pallas2SwitchAdj._OUT_VMEM_BUDGET = saved_budgets[1]
+        flush()
 
 
 if __name__ == "__main__":
