@@ -309,6 +309,80 @@ def measure_spmm_apply(graph, hidden: int = 64, chain: int = 50, repeats: int = 
     return best / chain
 
 
+def measure_mg_epoch(repeats: int = 3, dataset: str | None = None,
+                     counts: list[int] | None = None, sims: int = 200,
+                     batch_size: int = 8):
+    """Enron-scale multigraph TRAIN epoch through the default library path.
+
+    The ngraphs-protocol hot path (``monitorer-ngraphs.py:10-23`` shapes:
+    graphs dolphins..enron, trial counts [36]*5+[120], batch_size=8 -> 25
+    grouped steps, hidden=8, euler over maxTime/deltaT=40 f-evals), built
+    exactly the way a user gets it — ``multigraph_auto_fns`` resolving to the
+    stacked-Pallas2 plans with per-graph chunk grids and the train-side node
+    view (ARCHITECTURE.md). Matches the probe lever ``epoch_f32_b8_nodeview``
+    in ``runs_r4/probe_mg_epoch.json``.
+
+    Trial params are generated and labels extracted at sim=200: the compiled
+    epoch's timing depends only on array SHAPES (counts/batch/hidden), never
+    on label values, so the cheap extraction keeps this self-contained (no
+    dependence on any run directory's label cache). Returns
+    ``(best_epoch_s, steps, backend_kind)``.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gn_ode_sir_tpu.graphs import load_graphs
+    from gn_ode_sir_tpu.models import GNODE
+    from gn_ode_sir_tpu.train import (
+        assemble_multigraph_trials,
+        multigraph_auto_fns,
+        multigraph_split,
+    )
+    from gn_ode_sir_tpu.train.data import epoch_batches_grouped
+    from gn_ode_sir_tpu.train.loop import _data_to_device, make_train_epoch_fn
+
+    counts = counts or [36, 36, 36, 36, 36, 120]
+    graphs = load_graphs(dataset or os.path.join(
+        GRAPHS, "dolphins+fb-food+fb-social+openflights+wiki-vote+enron"))
+    rng = np.random.default_rng(0)
+    per_graph = [
+        [([int(x) for x in rng.choice(g.n_nodes, 2, replace=False)],
+          float(rng.uniform(0.1, 0.5)), float(rng.uniform(0.1, 0.5)))
+         for _ in range(c)]
+        for g, c in zip(graphs, counts)
+    ]
+    batch, data = assemble_multigraph_trials(
+        graphs, per_graph, label_dirs=None, sim=sims, max_time=MAX_TIME,
+        rng_key=jax.random.PRNGKey(0))
+    conn = multigraph_auto_fns(batch)
+    tr, _, _ = multigraph_split(counts)
+    model = GNODE(hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    d = _data_to_device(data)
+    d["__adj_aux__"] = jax.tree_util.tree_map(jnp.asarray, conn.aux)
+    train_epoch = make_train_epoch_fn(
+        model, optimizer, conn.adj_fn, conn.node_mask_fn,
+        n_view=getattr(conn.adj_fn, "n_view", None))
+    bi, bw = epoch_batches_grouped(tr, data.graph_idx, batch_size,
+                                   np.random.default_rng(0))
+    key = jax.random.PRNGKey(1)
+
+    def run():
+        _, _, loss = train_epoch(params, opt_state, d, bi, bw, key)
+        return float(np.asarray(loss))  # full host readback (CLAUDE.md)
+
+    run()  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best, int(bi.shape[0]), conn.kind
+
+
 def main():
     from gn_ode_sir_tpu.graphs import load_graph
 
@@ -355,6 +429,19 @@ def main():
     vs_train = ref_epoch_s / epoch_s
 
     spmm_s = measure_spmm_apply(wiki)
+
+    # best-effort (GN_BENCH_MG=0 skips): the enron-scale multigraph train
+    # epoch — round 4's flagship perf win (3.77 s r3 -> per-graph grids ->
+    # node view). A failure here (e.g. transient RESOURCE_EXHAUSTED at this
+    # scale) must not cost the headline metrics.
+    mg_epoch_s = mg_steps = mg_kind = None
+    if os.environ.get("GN_BENCH_MG", "1").strip().lower() not in (
+            "0", "false", "off", "no"):
+        try:
+            mg_epoch_s, mg_steps, mg_kind = measure_mg_epoch()
+        except Exception as e:  # noqa: BLE001 — extra metric is best-effort
+            print(f"mg-epoch metric skipped: {e!r}", file=sys.stderr,
+                  flush=True)
 
     # absolute utilization vs the v5e roofline (modeled FLOPs/bytes from
     # shapes; both bounds reported — see utils/roofline.py)
@@ -406,6 +493,19 @@ def main():
         },
         "baseline_proxy": baseline,
     }
+    if mg_epoch_s is not None:
+        details["gnode_mg_train_epoch_enron"] = {
+            "graphs": "dolphins+fb-food+fb-social+openflights+wiki-vote+enron",
+            "hidden": 8,
+            "batch_size": 8,
+            "steps_per_epoch": mg_steps,
+            "backend": mg_kind,
+            "epoch_s": mg_epoch_s,
+            # round-3 shipped epoch (padded single grid, full-width train):
+            # the within-framework baseline this round's levers cut from
+            "r3_epoch_s": 3.77,
+            "vs_r3": 3.77 / mg_epoch_s,
+        }
     try:
         import jax
 
@@ -436,7 +536,16 @@ def main():
             "vs_baseline": None,
             "mfu": round(util_spmm["mfu"], 4),
             "hbm_frac": round(util_spmm["hbm_frac"], 4),
-        }],
+        }] + ([{
+            "metric": "gnode_mg_train_epoch_s_enron",
+            "value": round(mg_epoch_s, 4),
+            "unit": "s/epoch",
+            # no reference proxy exists at this scale (the reference's
+            # torch-CPU ngraphs step with per-f-eval block_diag would take
+            # hours/epoch on enron); ratio vs OUR round-3 shipped epoch
+            "vs_baseline": None,
+            "vs_r3": round(3.77 / mg_epoch_s, 2),
+        }] if mg_epoch_s is not None else []),
     }))
 
 

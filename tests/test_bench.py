@@ -106,3 +106,13 @@ def test_sigterm_stops_retry_loop(bench, monkeypatch):
     monkeypatch.setenv("GN_BENCH_RETRY_WAIT", "0")
     assert bench._main_with_retries() == -15
     assert len(calls) == 1
+
+
+def test_measure_mg_epoch_smoke(bench):
+    """The multigraph-epoch metric's full wiring (assemble -> auto fns ->
+    grouped batches -> whole-epoch jit) at toy scale on CPU; the TPU run
+    only changes graph names/counts."""
+    s, steps, kind = bench.measure_mg_epoch(
+        repeats=1, dataset=os.path.join(bench.GRAPHS, "karate+dolphins"),
+        counts=[4, 4], sims=20, batch_size=2)
+    assert s > 0 and steps == 2 and kind in ("dense", "pallas2")
