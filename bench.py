@@ -50,6 +50,9 @@ DETAILS = os.path.join(ROOT, "BENCH_DETAILS.json")
 
 SIMS = 10_000
 MAX_TIME = 20
+# round-3 shipped enron multigraph epoch (padded single grid, full-width
+# train) — the within-framework baseline the mg-epoch metric compares to
+R3_MG_EPOCH_S = 3.77
 BETA, GAMMA = 0.3, 0.2
 SEEDS = [0, 5]
 
@@ -503,8 +506,8 @@ def main():
             "epoch_s": mg_epoch_s,
             # round-3 shipped epoch (padded single grid, full-width train):
             # the within-framework baseline this round's levers cut from
-            "r3_epoch_s": 3.77,
-            "vs_r3": 3.77 / mg_epoch_s,
+            "r3_epoch_s": R3_MG_EPOCH_S,
+            "vs_r3": R3_MG_EPOCH_S / mg_epoch_s,
         }
     try:
         import jax
@@ -544,7 +547,7 @@ def main():
             # torch-CPU ngraphs step with per-f-eval block_diag would take
             # hours/epoch on enron); ratio vs OUR round-3 shipped epoch
             "vs_baseline": None,
-            "vs_r3": round(3.77 / mg_epoch_s, 2),
+            "vs_r3": round(R3_MG_EPOCH_S / mg_epoch_s, 2),
         }] if mg_epoch_s is not None else []),
     }))
 

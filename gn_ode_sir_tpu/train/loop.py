@@ -234,18 +234,22 @@ def fit(
             )
     # node-view adjacencies are only valid for the graphs they were built
     # for — a trial of a larger graph would silently lose its high rows
-    ok_graphs = getattr(adj_fn, "valid_train_graphs", None)
-    if ok_graphs is not None:
+    def _check_view(f, idx, which, hint):
+        ok_graphs = getattr(f, "valid_train_graphs", None)
+        if ok_graphs is None or len(idx) == 0:
+            return
         bad = set(int(g) for g in np.asarray(data.graph_idx)[
-            np.asarray(train_idx, np.int64)]) - set(ok_graphs)
+            np.asarray(idx, np.int64)]) - set(ok_graphs)
         if bad:
             raise ValueError(
-                f"train_idx contains trials of graphs {sorted(bad)}, but the "
-                f"train adjacency's node view only covers graphs "
-                f"{sorted(ok_graphs)} (the non-eval bucket). Pass the "
-                "protocol train split, or rebuild connectivity with "
-                "train_node_view=False."
+                f"{which} contains trials of graphs {sorted(bad)}, but the "
+                f"adjacency's node view only covers graphs "
+                f"{sorted(ok_graphs)} (the non-eval bucket). {hint}"
             )
+
+    _check_view(adj_fn, train_idx, "train_idx",
+                "Pass the protocol train split, or rebuild connectivity "
+                "with train_node_view=False.")
     d = _data_to_device(data)
     if adj_aux is not None:
         d["__adj_aux__"] = jax.tree_util.tree_map(jnp.asarray, adj_aux)
@@ -258,6 +262,14 @@ def fit(
         model, optimizer, adj_fn, node_mask_fn,
         n_view=getattr(adj_fn, "n_view", None))
     e_adj_fn = eval_adj_fn or adj_fn
+    # eval must see every val/test graph at full width: a node-view train
+    # adjacency reused for eval (eval_adj_fn omitted) would silently gather
+    # a TRAIN graph's sliced adjacency for eval-graph trials
+    for _idx, _name in ((val_idx, "val_idx"), (test_idx, "test_idx")):
+        _check_view(e_adj_fn, _idx, _name,
+                    "Pass eval_adj_fn (the full-width adjacency — e.g. "
+                    "MultigraphConnectivity.eval_adj_fn / fit_kwargs()), or "
+                    "rebuild connectivity with train_node_view=False.")
     e_n_view = getattr(e_adj_fn, "n_view", None)
     evaluate = make_eval_fn(model, e_adj_fn, node_mask_fn, n_view=e_n_view)
     evaluate_per_trial = (

@@ -95,17 +95,20 @@ def multigraph_auto_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
     """
     import os
 
-    # operational escape hatch (mirrors GN_MG_PER_GRAPH_GRID): turn the
-    # train-side node view off for running jobs without a code edit
-    _nv_raw = os.environ.get("GN_MG_TRAIN_NODE_VIEW", "1").strip().lower()
-    node_view_default = _nv_raw not in ("0", "false", "off", "no")
+    # train_node_view is a BOTH-backend knob (dense gets the same view), so
+    # pull it out before the "unused Pallas options" warning below; absent,
+    # the operational escape hatch decides (mirrors GN_MG_PER_GRAPH_GRID:
+    # turn the view off for running jobs without a code edit)
+    node_view = pallas_kw.pop("train_node_view", None)
+    if node_view is None:
+        _nv_raw = os.environ.get("GN_MG_TRAIN_NODE_VIEW", "1").strip().lower()
+        node_view = _nv_raw not in ("0", "false", "off", "no")
     if kind == "auto":
         kind = resolve_mg_kind(batch, gcn_normalized=gcn_normalized)
     if kind == "pallas2":
-        pallas_kw.setdefault("train_node_view", node_view_default)
         tr_fn, ev_fn, mask_fn, aux = multigraph_pallas2_fns(
             batch, gcn_normalized=gcn_normalized, eval_graph=eval_graph,
-            **pallas_kw)
+            train_node_view=node_view, **pallas_kw)
         return MultigraphConnectivity(tr_fn, ev_fn, mask_fn, aux, True, kind)
     if pallas_kw:
         # scale-portable callers may set kernel knobs "for when it's big";
@@ -121,25 +124,21 @@ def multigraph_auto_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
         batch, gcn_normalized=gcn_normalized, kind=kind)
     train_fn = adj_fn
     G = batch.num_graphs
-    if kind == "dense" and G > 1 and node_view_default:
+    if kind == "dense" and G > 1 and node_view:
         # train-side node view for the dense backend too: the unseen-graph
         # protocol means no TRAIN trial ever needs the eval graph's rows, so
         # a pre-sliced train stack cuts each train step's [B, n, n] @
         # [B, n, h] MXU work by (n_max/n_train)^2 (wiki-vote-unseen config:
-        # 5.8x). Sliced on host once — slicing the gathered batch inside jit
-        # would rely on XLA fusing slice-into-gather to avoid materializing
-        # the full-width blocks.
-        ev = eval_graph % G
-        train_ids = [g for g in range(G) if g != ev]
-        n_train = int(max(int(batch.n_nodes[g]) for g in train_ids))
-        n_train = min(batch.n_max, -(-n_train // 128) * 128)
+        # 5.8x). Sliced once, eagerly, ON DEVICE (one gather dispatch — no
+        # host round-trip of the full stack through the tunnel); slicing the
+        # gathered batch inside jit instead would rely on XLA fusing
+        # slice-into-gather to avoid materializing full-width blocks.
+        ev, train_ids, remap, n_train = _train_bucket(batch, eval_graph)
         if n_train < batch.n_max:
-            dense = np.asarray(aux["dense"])
-            remap = np.zeros(G, np.int32)
-            remap[train_ids] = np.arange(len(train_ids), dtype=np.int32)
             aux = dict(aux)
-            aux["dense_train"] = jnp.asarray(np.ascontiguousarray(
-                dense[np.asarray(train_ids)][:, :n_train, :n_train]))
+            aux["dense_train"] = aux["dense"][
+                jnp.asarray(np.asarray(train_ids, np.int32)),
+                :n_train, :n_train]
             aux["dense_train_remap"] = jnp.asarray(remap)
 
             def train_fn(graph_idx, a):
@@ -226,6 +225,24 @@ def multigraph_adj_fns(batch: GraphBatch, gcn_normalized: bool = False,
     return adj_fn, node_mask_fn, aux
 
 
+def _train_bucket(batch: GraphBatch, eval_graph: int):
+    """(eval_id, train_ids, remap, n_train) for the train-side node view.
+
+    One definition of the bucket rule for BOTH backends (dense and
+    stacked-Pallas2): the train width is the largest non-eval graph's node
+    count rounded up to 128 (tile-friendly [n, h] sublanes), capped at the
+    global padding; ``remap[g]`` is g's row in the train-only stack.
+    """
+    G = batch.num_graphs
+    ev = eval_graph % G
+    train_ids = [g for g in range(G) if g != ev]
+    remap = np.zeros(G, np.int32)
+    remap[train_ids] = np.arange(len(train_ids), dtype=np.int32)
+    n_train = int(max(int(batch.n_nodes[g]) for g in train_ids))
+    n_train = min(batch.n_max, -(-n_train // 128) * 128)
+    return ev, train_ids, remap, n_train
+
+
 def _real_edge_lists(batch: GraphBatch, graph_ids, gcn_normalized: bool):
     """Per-graph (src, dst, w) over REAL edges only (dst-sorted, the
     GraphBatch layout) — plan chunk counts then reflect each graph's true
@@ -294,10 +311,7 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
         raw = os.environ.get("GN_MG_PER_GRAPH_GRID", "1").strip().lower()
         per_graph_grid = raw not in ("0", "false", "off", "no")
     G = batch.num_graphs
-    ev = eval_graph % G
-    train_ids = [g for g in range(G) if g != ev]
-    remap = np.zeros(G, np.int32)
-    remap[train_ids] = np.arange(len(train_ids), dtype=np.int32)
+    ev, train_ids, remap, n_train = _train_bucket(batch, eval_graph)
     n_max = batch.n_max
     kw = dict(k_edges=k_edges, r_rows=r_rows)
     train_stack, *t_counts = stacked_plans(
@@ -322,11 +336,9 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
     def node_mask_fn(graph_idx, aux):
         return aux["node_mask"][graph_idx]
 
-    # train bucket width: the largest non-eval graph, rounded up to 128 for
-    # tile-friendly [n, h] sublanes; plan chunk arrays are edge-derived so
-    # the SAME train stack serves any output width >= the real node counts
-    n_train = int(max(int(batch.n_nodes[g]) for g in train_ids))
-    n_train = min(n_max, -(-n_train // 128) * 128)
+    # train bucket width from _train_bucket (shared with the dense backend);
+    # plan chunk arrays are edge-derived so the SAME train stack serves any
+    # output width >= the real node counts
     n_t = n_train if (train_node_view and n_train < n_max) else n_max
 
     def train_adj_fn(graph_idx, aux):

@@ -132,7 +132,15 @@ def main(smoke: bool = False, eval_only: bool = False):
                     merged = json.load(f)
             except Exception:  # noqa: BLE001 — corrupt partials lose
                 merged = {}
-        merged.update(results)
+        # DEEP merge per top-level key: a lever rerun re-measures the base
+        # epoch without its utilization sub-dict; a shallow update would
+        # clobber the nested evidence (it once erased epoch_f32_b8's
+        # mfu/hbm_frac from the committed artifact)
+        for k, v in results.items():
+            if isinstance(v, dict) and isinstance(merged.get(k), dict):
+                merged[k] = {**merged[k], **v}
+            else:
+                merged[k] = v
         with open(out_path, "w") as f:
             json.dump(merged, f, indent=1)
 

@@ -489,6 +489,7 @@ def test_train_node_view_pallas2_matches_full_width(tmp_path, monkeypatch):
     from gn_ode_sir_tpu.train import multigraph_auto_fns, multigraph_pallas2_fns
 
     batch, data, (tr, va, te) = _node_view_setup(tmp_path)
+    monkeypatch.delenv("GN_MG_TRAIN_NODE_VIEW", raising=False)
     monkeypatch.setattr(mg, "MG_DENSE_BYTES_LIMIT", 1)
     monkeypatch.setattr(jax_mod, "default_backend", lambda: "tpu")
     conn = multigraph_auto_fns(batch, k_edges=32, r_rows=8, interpret=True)
@@ -523,6 +524,7 @@ def test_train_node_view_dense_matches_full_width(tmp_path, monkeypatch):
     from gn_ode_sir_tpu.train import multigraph_auto_fns
 
     batch, data, (tr, va, te) = _node_view_setup(tmp_path)
+    monkeypatch.delenv("GN_MG_TRAIN_NODE_VIEW", raising=False)
     conn = multigraph_auto_fns(batch, kind="dense")
     assert conn.adj_fn.n_view == 128
     assert "dense_train" in conn.aux
@@ -531,6 +533,17 @@ def test_train_node_view_dense_matches_full_width(tmp_path, monkeypatch):
     conn_f = multigraph_auto_fns(batch, kind="dense")
     assert not hasattr(conn_f.adj_fn, "n_view")
     assert "dense_train" not in conn_f.aux
+
+    # explicit kwarg beats the env default on the dense branch too (and,
+    # being a both-backend knob, must not trip the unused-Pallas warning)
+    monkeypatch.delenv("GN_MG_TRAIN_NODE_VIEW", raising=False)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        conn_k = multigraph_auto_fns(batch, kind="dense",
+                                     train_node_view=False)
+    assert not hasattr(conn_k.adj_fn, "n_view")
+    assert "dense_train" not in conn_k.aux
 
     model = GNODE(hidden=8, max_time=6)
     params = model.init(jax.random.PRNGKey(0))
@@ -544,12 +557,13 @@ def test_train_node_view_dense_matches_full_width(tmp_path, monkeypatch):
     np.testing.assert_allclose(res_v.test_loss, res_f.test_loss, rtol=1e-5)
 
 
-def test_train_node_view_refuses_eval_graph_trials(tmp_path):
+def test_train_node_view_refuses_eval_graph_trials(tmp_path, monkeypatch):
     """A node-view adjacency fed eval-graph trials in train_idx would
     silently drop their high rows; fit() must refuse loudly."""
     from gn_ode_sir_tpu.train import multigraph_auto_fns
 
     batch, data, (tr, va, te) = _node_view_setup(tmp_path)
+    monkeypatch.delenv("GN_MG_TRAIN_NODE_VIEW", raising=False)
     conn = multigraph_auto_fns(batch, kind="dense")
     assert conn.adj_fn.n_view == 128
     model = GNODE(hidden=8, max_time=6)
@@ -558,3 +572,22 @@ def test_train_node_view_refuses_eval_graph_trials(tmp_path):
     with pytest.raises(ValueError, match="node view"):
         fit(model, optax.adam(1e-2), params, data, bad_tr, va, te,
             **conn.fit_kwargs(), epochs=1, batch_size=4, verbose=False)
+
+
+def test_train_node_view_refuses_reuse_for_eval(tmp_path, monkeypatch):
+    """Passing a node-view train adjacency as the ONLY adj_fn (eval_adj_fn
+    omitted — correct dense-backend usage before the node view existed) must
+    raise, not silently evaluate val/test eval-graph trials against a sliced
+    TRAIN graph's adjacency."""
+    from gn_ode_sir_tpu.train import multigraph_auto_fns
+
+    batch, data, (tr, va, te) = _node_view_setup(tmp_path)
+    monkeypatch.delenv("GN_MG_TRAIN_NODE_VIEW", raising=False)
+    conn = multigraph_auto_fns(batch, kind="dense")
+    assert conn.adj_fn.n_view == 128
+    model = GNODE(hidden=8, max_time=6)
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="eval_adj_fn"):
+        fit(model, optax.adam(1e-2), params, data, tr, va, te,
+            conn.adj_fn, adj_aux=conn.aux, node_mask_fn=conn.node_mask_fn,
+            epochs=1, batch_size=4, verbose=False)
