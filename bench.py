@@ -609,6 +609,10 @@ def _main_with_retries() -> int:
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
             state["proc"] = proc
+            if state["stop"]:
+                # SIGTERM landed between Popen returning and the assignment
+                # above — the handler saw proc=None and terminated nothing
+                proc.terminate()
             out_buf: list = []
             err_buf: list = []
             threads = [

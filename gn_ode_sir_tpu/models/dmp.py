@@ -102,6 +102,17 @@ def _dmp_run(src, dst, cave, w, gamma, seeds, *, n_nodes: int, max_time: int):
     return jnp.concatenate([m0[None], m1[None], rest], axis=0)  # [T, N, 3]
 
 
+@partial(jax.jit, static_argnames=("n_nodes", "max_time"))
+def _dmp_run_many(src, dst, cave, w, gamma, seeds, *, n_nodes: int,
+                  max_time: int):
+    """vmapped trial batch: w/gamma/seeds carry a leading [B] axis; the edge
+    structure (src/dst/cave) is shared — one compiled program, one dispatch
+    for the whole test split."""
+    run = partial(_dmp_run, n_nodes=n_nodes, max_time=max_time)
+    return jax.vmap(run, in_axes=(None, None, None, 0, 0, 0))(
+        src, dst, cave, w, gamma, seeds)
+
+
 @dataclasses.dataclass(frozen=True)
 class DMPSIR:
     """Closed-form DMP inference on one graph.
@@ -149,6 +160,36 @@ class DMPSIR:
             w,
             g,
             seeds,
+            n_nodes=self.n_nodes,
+            max_time=max_time,
+        )
+
+    def run_many(self, seed_sets, betas, gammas, max_time: int = 20):
+        """Marginals [B, max_time, n_nodes, 3] for B trials in ONE program.
+
+        The reference (and :meth:`run`) dispatches one inference per trial
+        (``dmp.py:347-350`` loops the test split); here the whole split
+        rides one vmapped scan — the DMP analogue of the batched MC
+        extraction (``simulate_sir_many``). ``betas`` is [B] scalars or
+        [B, E] per-edge weights; ``gammas`` is [B] scalars or [B, n] per
+        node.
+        """
+        B = len(seed_sets)
+        E = self.src.shape[0]
+        seeds = np.zeros((B, self.n_nodes), np.float32)
+        for k, s in enumerate(seed_sets):
+            seeds[k, np.asarray(list(s), dtype=np.int64)] = 1.0
+        w = np.broadcast_to(
+            np.asarray(betas, np.float32).reshape(B, -1), (B, E))
+        g = np.broadcast_to(
+            np.asarray(gammas, np.float32).reshape(B, -1), (B, self.n_nodes))
+        return _dmp_run_many(
+            jnp.asarray(self.src),
+            jnp.asarray(self.dst),
+            jnp.asarray(self.cave),
+            jnp.asarray(w),
+            jnp.asarray(g),
+            jnp.asarray(seeds),
             n_nodes=self.n_nodes,
             max_time=max_time,
         )

@@ -226,18 +226,21 @@ def _spmm2_diff_fwd(n_nodes, k_edges, r_rows, interpret, precision,
                     src_p, dloc, base, w_p, src_t, dloc_t, base_t, w_t, x):
     out = _spmm2_diff(n_nodes, k_edges, r_rows, interpret, precision,
                       src_p, dloc, base, w_p, src_t, dloc_t, base_t, w_t, x)
-    return out, (src_t, dloc_t, base_t, w_t)
+    return out, (src_p, dloc, base, w_p, src_t, dloc_t, base_t, w_t)
 
 
 def _spmm2_diff_bwd(n_nodes, k_edges, r_rows, interpret, precision, res, g):
     """d/dx = the TRANSPOSE SpMM of the cotangent: same kernel, src/dst
-    swapped plan (src-sorted edges). Plan arrays get zero-size cotangents."""
-    src_t, dloc_t, base_t, w_t = res
+    swapped plan (src-sorted edges). Plan arrays get zero cotangents —
+    shaped per-argument: the fwd and transpose plans have DIFFERENT chunk
+    counts whenever in/out degree distributions differ (true-count slicing
+    in Pallas2SwitchAdj exposes this; shared padding used to mask it)."""
+    src_p, dloc, base, w_p, src_t, dloc_t, base_t, w_t = res
     msgs = _to_msgs(g, src_t, w_t, precision)
     dx = _spmm2_call(base_t, dloc_t, msgs, n_nodes=n_nodes, k_edges=k_edges,
                      r_rows=r_rows, interpret=interpret)
     zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return (zi(src_t), zi(dloc_t), zi(base_t), jnp.zeros_like(w_t),
+    return (zi(src_p), zi(dloc), zi(base), jnp.zeros_like(w_p),
             zi(src_t), zi(dloc_t), zi(base_t), jnp.zeros_like(w_t), dx)
 
 

@@ -537,8 +537,11 @@ def sir_per_sim_stats(s, i, r):
     """
     mean = np.stack([np.mean(np.asarray(x), axis=0, dtype=np.float64)
                      for x in (s, i, r)])
-    std = np.stack([np.std(np.asarray(x), axis=0, dtype=np.float64)
-                    for x in (s, i, r)])
+    # indicators satisfy x^2 == x, so Var = E[x] - E[x]^2 = p(1-p): the std
+    # follows from the mean with no second pass (np.std would materialize a
+    # [sims, T, n] f64 `x - mean` temporary — ~1.1 GB at the wiki-vote
+    # sims=1000 shape this path targets)
+    std = np.sqrt(mean * (1.0 - mean))
     return {"mean": mean, "std": std}
 
 

@@ -100,6 +100,7 @@ def multigraph_auto_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
     # the operational escape hatch decides (mirrors GN_MG_PER_GRAPH_GRID:
     # turn the view off for running jobs without a code edit)
     node_view = pallas_kw.pop("train_node_view", None)
+    explicit_view = node_view is not None
     if node_view is None:
         _nv_raw = os.environ.get("GN_MG_TRAIN_NODE_VIEW", "1").strip().lower()
         node_view = _nv_raw not in ("0", "false", "off", "no")
@@ -118,6 +119,16 @@ def multigraph_auto_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
         warnings.warn(
             f"multigraph_auto_fns resolved to the {kind!r} backend; "
             f"Pallas-kernel options {sorted(pallas_kw)} are unused",
+            stacklevel=2,
+        )
+    if kind != "dense" and explicit_view and node_view:
+        # the COO per-sample gather has no sliced-plan variant: an explicit
+        # request for the node-view saving must not silently no-op
+        import warnings
+
+        warnings.warn(
+            f"train_node_view is not implemented for the {kind!r} backend; "
+            "training runs at the full padded width",
             stacklevel=2,
         )
     adj_fn, mask_fn, aux = multigraph_adj_fns(

@@ -22,7 +22,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from gn_ode_sir_tpu.cli import monitorer  # noqa: E402
+from gn_ode_sir_tpu.cli import apply_data_root_default, monitorer  # noqa: E402
+
+# this script calls monitorer internals directly (no main() entry point
+# applies the default), and _load_or_create_params loads the graph
+apply_data_root_default()
 
 DATASET = "./real_graphs/wiki-vote"
 EXP_ROOT = "results/canonical"

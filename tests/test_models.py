@@ -211,6 +211,39 @@ def test_dmp_matches_mc_on_tree():
     np.testing.assert_allclose(m.sum(-1), 1.0, atol=1e-4)
 
 
+def test_dmp_run_many_matches_per_trial():
+    """run_many (one vmapped program over the trial batch) must reproduce
+    the per-trial run results; heterogeneous [B, E]/[B, n] parameter arrays
+    ride the same path."""
+    import networkx as nx
+
+    from gn_ode_sir_tpu.graphs.graph import graph_from_networkx
+
+    g = graph_from_networkx(nx.random_regular_graph(3, 20, seed=4),
+                            name="reg-many")
+    dmp = DMPSIR.from_graph(g)
+    rng = np.random.default_rng(7)
+    B, E, n = 5, g.src.shape[0], g.n_nodes
+    seed_sets = [rng.choice(n, 2, replace=False) for _ in range(B)]
+    betas = rng.uniform(0.1, 0.5, B).astype(np.float32)
+    gammas = rng.uniform(0.1, 0.5, B).astype(np.float32)
+
+    batched = np.asarray(dmp.run_many(seed_sets, betas, gammas, max_time=12))
+    assert batched.shape == (B, 12, n, 3)
+    for k in range(B):
+        single = np.asarray(dmp.run(seed_sets[k], float(betas[k]),
+                                    float(gammas[k]), max_time=12))
+        np.testing.assert_allclose(batched[k], single, rtol=1e-6, atol=1e-7)
+
+    # per-edge / per-node arrays with a batch axis
+    w = rng.uniform(0.1, 0.5, (B, E)).astype(np.float32)
+    gam = rng.uniform(0.1, 0.5, (B, n)).astype(np.float32)
+    batched_h = np.asarray(dmp.run_many(seed_sets, w, gam, max_time=12))
+    for k in range(B):
+        single = np.asarray(dmp.run(seed_sets[k], w[k], gam[k], max_time=12))
+        np.testing.assert_allclose(batched_h[k], single, rtol=1e-6, atol=1e-7)
+
+
 def test_dmp_heterogeneous_parameters():
     """DMPSIR.run accepts per-edge weights / per-node gamma (reference
     ``DMP_SIR(weight_adj, nodes_gamma)`` surface, ``dmp.py:163-170``)."""

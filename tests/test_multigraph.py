@@ -454,6 +454,19 @@ def test_multigraph_auto_fns_warns_on_unused_pallas_kwargs(two_graphs):
         multigraph_auto_fns(batch)
     assert not w
 
+    # an EXPLICIT train_node_view=True on a backend with no sliced variant
+    # (coo) must warn rather than silently run full-width; the env-driven
+    # default must stay silent for coo users
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        conn_c = multigraph_auto_fns(batch, kind="coo", train_node_view=True)
+    assert conn_c.kind == "coo"
+    assert any("train_node_view" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        multigraph_auto_fns(batch, kind="coo")
+    assert not w
+
 def _node_view_setup(tmp_path, sim=60, max_time=6):
     """Graphs where the train bucket (128) is genuinely below n_max (~200):
     the node-view path only engages when rounding the largest TRAIN graph

@@ -198,6 +198,36 @@ def test_pallas2_adj_grad_matches_coo(random_graph):
     np.testing.assert_allclose(np.asarray(g2), np.asarray(gc), rtol=1e-4, atol=1e-5)
 
 
+def test_pallas2_switch_grad_asymmetric_plans():
+    """Gradients through Pallas2SwitchAdj when the fwd and transpose plans
+    have DIFFERENT true chunk counts (directed edge list: an out-star is
+    R-limited forward, 1-chunk transposed). The custom VJP must shape each
+    plan argument's zero cotangent from that argument — regression for the
+    bwd rule building fwd-arg cotangents from transpose-plan arrays (shared
+    padding used to mask the mismatch; true-count slicing exposed it)."""
+    from gn_ode_sir_tpu.ops.pallas_spmm2 import adj_from_stack, stacked_plans
+
+    n = 16
+    src = np.zeros(15, np.int32)
+    dst = np.arange(1, 16, dtype=np.int32)
+    w = np.ones_like(src, np.float32)
+    stack, cf, ct = stacked_plans([(src, dst, w)], n, k_edges=64, r_rows=4)
+    assert cf != ct  # the shapes that used to crash the bwd rule
+    adj = adj_from_stack(stack, jnp.zeros((1,), jnp.int32), n, k_edges=64,
+                         r_rows=4, interpret=True, counts=(cf, ct))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, n, 4)), jnp.float32)
+    A = np.zeros((n, n), np.float32)
+    A[dst, src] = 1.0
+    ref = np.einsum("ij,bjh->bih", A, np.asarray(x))
+    np.testing.assert_allclose(np.asarray(adj.matvec(x)), ref,
+                               rtol=1e-6, atol=1e-6)
+    grad = jax.grad(lambda z: (adj.matvec(z) ** 2).sum())(x)
+    ref_grad = 2 * np.einsum("ji,bjh->bih", A, ref)
+    np.testing.assert_allclose(np.asarray(grad), ref_grad,
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_pallas2_bf16_close_to_f32(random_graph):
     """precision='bf16' rounds messages to bf16 but accumulates f32: results
     must track the exact f32 kernel to bf16 rounding tolerance, fwd and grad."""
