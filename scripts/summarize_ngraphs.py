@@ -7,7 +7,8 @@ per-graph params are pinned by the persisted initial-*.pkl) and vary only
 semantics (its torch init is unseeded). Rows with epochs <= 2 are smoke
 runs and excluded.
 
-Usage: python scripts/summarize_ngraphs.py <Metrics-trials-... CSV> [--model ode_nn]
+Usage: python scripts/summarize_ngraphs.py <Metrics-trials-... CSV>
+           [--model ode_nn | --all-models]
 """
 
 from __future__ import annotations
@@ -40,9 +41,29 @@ def summarize(path: str, model: str = "ode_nn"):
     return m, sd, len(losses)
 
 
+def summarize_all(path: str):
+    """One line per model family present in the CSV (the round's
+    model-family transfer table: GN-ODE vs GCN vs GIN on the unseen graph)."""
+    models = []
+    with open(path) as f:
+        for r in csv.DictReader(f):
+            if int(r["epochs"]) > 2 and r["model"] not in models:
+                models.append(r["model"])
+    out = {}
+    for m in models:
+        print()
+        out[m] = summarize(path, m)
+    return out
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("csv")
     ap.add_argument("--model", default="ode_nn")
+    ap.add_argument("--all-models", action="store_true",
+                    help="summarize every model family in the CSV")
     args = ap.parse_args()
-    summarize(args.csv, args.model)
+    if args.all_models:
+        summarize_all(args.csv)
+    else:
+        summarize(args.csv, args.model)
