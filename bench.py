@@ -388,6 +388,11 @@ def measure_mg_epoch(repeats: int = 3, dataset: str | None = None,
 
 def main():
     from gn_ode_sir_tpu.graphs import load_graph
+    from gn_ode_sir_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
 
     graph = load_graph(os.path.join(GRAPHS, "openflights"))
     wiki = load_graph(os.path.join(GRAPHS, "wiki-vote"))

@@ -256,8 +256,12 @@ def ngraphs_config() -> MatrixConfig:
 
 def main(argv=None) -> int:
     from gn_ode_sir_tpu.cli import apply_data_root_default
+    from gn_ode_sir_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
 
     apply_data_root_default()
+    enable_persistent_compilation_cache()
     p = argparse.ArgumentParser(description="GN-ODE SIR experiment matrix")
     p.add_argument("--only", nargs="+", type=int, default=[])
     p.add_argument("--subprocess", action="store_true",

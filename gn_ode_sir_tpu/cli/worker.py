@@ -723,8 +723,12 @@ def _apply_config_defaults(parser, argv):
 
 def main(argv=None):
     from gn_ode_sir_tpu.cli import apply_data_root_default
+    from gn_ode_sir_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
 
     apply_data_root_default()
+    enable_persistent_compilation_cache()
     parser = build_parser()
     argv = _apply_config_defaults(parser, argv)
     args = parser.parse_args(argv)

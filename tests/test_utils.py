@@ -165,3 +165,46 @@ def test_coin_mode_sidecar(tmp_path, karate, capsys):
     out = capsys.readouterr().out
     assert "WARNING" in out and "bits32" in out
     assert json.load(open(f"{d}/coins-mode.json"))["coins"] == "bits16"
+
+
+def test_persistent_compilation_cache(tmp_path, monkeypatch):
+    """enable_persistent_compilation_cache points XLA compiles at an on-disk
+    cache (fresh matrix processes then deserialize instead of re-compiling —
+    the reference has no analogue because eager torch never compiles), and
+    GN_JAX_CACHE=0 disables it. Config is restored so other tests see the
+    session default."""
+    import jax
+    import jax.numpy as jnp
+
+    from gn_ode_sir_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    monkeypatch.setenv("GN_JAX_CACHE", "0")
+    assert enable_persistent_compilation_cache(str(tmp_path / "c0")) is None
+
+    monkeypatch.delenv("GN_JAX_CACHE", raising=False)
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        d = enable_persistent_compilation_cache(
+            str(tmp_path / "cache"), min_compile_time_secs=0.0
+        )
+        assert d == str(tmp_path / "cache")
+
+        @jax.jit
+        def f(x):
+            return jnp.sin(x) @ jnp.cos(x).T
+
+        f(jnp.ones((64, 64))).block_until_ready()
+        entries = list((tmp_path / "cache").iterdir())
+        assert entries, "no cache entry persisted"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", prev_size
+        )
