@@ -569,7 +569,7 @@ _RETRYABLE = (
 )
 
 
-def _pump(src, dst, buf):
+def _pump(src, dst, buf, last=None):
     """Stream a child pipe through live (so `tail -f` on a nohup log shows
     progress — TPU compiles/stalls look like hangs, CLAUDE.md) while keeping
     a copy for the retry-eligibility check."""
@@ -577,6 +577,8 @@ def _pump(src, dst, buf):
         dst.write(line)
         dst.flush()
         buf.append(line)
+        if last is not None:
+            last["t"] = time.monotonic()
     src.close()
 
 
@@ -591,6 +593,14 @@ def _main_with_retries() -> int:
 
     retries = int(os.environ.get("GN_BENCH_RETRIES", "4"))
     wait_s = float(os.environ.get("GN_BENCH_RETRY_WAIT", "300"))
+    # A wedged child can also HANG with no output forever (observed: a
+    # client that never got past backend init). The measurement child only
+    # prints at the END, so silence is normal for a full run — the watchdog
+    # window must exceed the worst legitimate case: a ~55 min self-healing
+    # mid-run tunnel stall (CLAUDE.md — never reap earlier) plus the run
+    # itself. Past that, the child is dead weight: reap it (plain SIGTERM,
+    # never -9) and let the retry loop take over.
+    stall_s = float(os.environ.get("GN_BENCH_STALL_TIMEOUT", "5400"))
 
     # If an outer `timeout`/driver SIGTERMs this wrapper, pass a plain
     # SIGTERM (never SIGKILL — CLAUDE.md) to the live child instead of
@@ -620,14 +630,36 @@ def _main_with_retries() -> int:
                 proc.terminate()
             out_buf: list = []
             err_buf: list = []
+            last = {"t": time.monotonic()}
+            hung = {"v": False}
             threads = [
                 threading.Thread(target=_pump,
-                                 args=(proc.stdout, sys.stdout, out_buf)),
+                                 args=(proc.stdout, sys.stdout, out_buf, last)),
                 threading.Thread(target=_pump,
-                                 args=(proc.stderr, sys.stderr, err_buf)),
+                                 args=(proc.stderr, sys.stderr, err_buf, last)),
             ]
             for t in threads:
                 t.start()
+
+            def _watch(p=proc, last=last, hung=hung):
+                poll = getattr(p, "poll", None)
+                if poll is None:  # test doubles without poll() complete synchronously
+                    return
+                while poll() is None:
+                    time.sleep(min(5.0, max(stall_s / 4, 0.05)))
+                    if state["stop"] or poll() is not None:
+                        return
+                    if time.monotonic() - last["t"] > stall_s:
+                        hung["v"] = True
+                        print(
+                            f"[bench] no child output for {stall_s:.0f}s — "
+                            "reaping the stalled client and retrying",
+                            file=sys.stderr,
+                        )
+                        p.terminate()
+                        return
+
+            threading.Thread(target=_watch, daemon=True).start()
             proc.wait()
             for t in threads:
                 t.join()
@@ -638,7 +670,7 @@ def _main_with_retries() -> int:
                 # forwarded termination — do NOT spawn another TPU client
                 return proc.returncode or 143
             tail = ("".join(out_buf) + "".join(err_buf))[-6000:]
-            retryable = any(pat in tail for pat in _RETRYABLE)
+            retryable = hung["v"] or any(pat in tail for pat in _RETRYABLE)
             print(
                 f"[bench] attempt {attempt}/{retries} rc={proc.returncode} "
                 f"retryable={retryable}", file=sys.stderr,

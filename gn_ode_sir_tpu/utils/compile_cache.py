@@ -46,6 +46,13 @@ def enable_persistent_compilation_cache(
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)
+        # jax pins the cache object (and its "is the cache used?" memo) at the
+        # first compile of the process; re-pointing the dir afterwards (tests,
+        # notebooks, long-lived drivers) is silently ignored without a reset.
+        from jax._src import compilation_cache as _cc
+
+        if _cc._cache_initialized or _cc._cache_checked:
+            _cc.reset_cache()
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", min_compile_time_secs

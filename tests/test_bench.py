@@ -108,6 +108,47 @@ def test_sigterm_stops_retry_loop(bench, monkeypatch):
     assert len(calls) == 1
 
 
+def test_hung_child_is_reaped_and_retried(bench, monkeypatch):
+    """A child that produces NO output and never exits (observed: a client
+    that never got past backend init after a tunnel stall) is reaped by the
+    no-output watchdog after GN_BENCH_STALL_TIMEOUT and counted retryable —
+    proc.wait() must not block the driver's bench forever."""
+    import threading
+
+    class _HangingProc:
+        def __init__(self):
+            self.returncode = None
+            self.stdout = io.StringIO("")
+            self.stderr = io.StringIO("")
+            self._done = threading.Event()
+
+        def poll(self):
+            return self.returncode
+
+        def wait(self):
+            self._done.wait(timeout=30)
+            return self.returncode
+
+        def terminate(self):
+            self.returncode = -15
+            self._done.set()
+
+    calls = []
+
+    def fake_popen(*a, **k):
+        calls.append(1)
+        if len(calls) == 1:
+            return _HangingProc()
+        return _Proc(0, '{"metric":"m","value":3}\n', "")
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    monkeypatch.setenv("GN_BENCH_RETRIES", "3")
+    monkeypatch.setenv("GN_BENCH_RETRY_WAIT", "0")
+    monkeypatch.setenv("GN_BENCH_STALL_TIMEOUT", "0.2")
+    assert bench._main_with_retries() == 0
+    assert len(calls) == 2
+
+
 def test_measure_mg_epoch_smoke(bench):
     """The multigraph-epoch metric's full wiring (assemble -> auto fns ->
     grouped batches -> whole-epoch jit) at toy scale on CPU; the TPU run

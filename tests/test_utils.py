@@ -208,3 +208,8 @@ def test_persistent_compilation_cache(tmp_path, monkeypatch):
         jax.config.update(
             "jax_persistent_cache_min_entry_size_bytes", prev_size
         )
+        # un-pin the cache object so later compiles don't write into the
+        # deleted tmp dir (jax memoizes it at first use; see compile_cache.py)
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
