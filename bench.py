@@ -386,6 +386,14 @@ def measure_mg_epoch(repeats: int = 3, dataset: str | None = None,
     return best, int(bi.shape[0]), conn.kind
 
 
+def _phase(msg: str) -> None:
+    """Heartbeat to stderr (stdout stays the one JSON line). The retry
+    wrapper's no-output watchdog keys off these: without them the child is
+    silent for the whole run and the watchdog window would measure total
+    runtime instead of actual stall time."""
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     from gn_ode_sir_tpu.graphs import load_graph
     from gn_ode_sir_tpu.utils.compile_cache import (
@@ -394,6 +402,7 @@ def main():
 
     enable_persistent_compilation_cache()
 
+    _phase("loading graphs")
     graph = load_graph(os.path.join(GRAPHS, "openflights"))
     wiki = load_graph(os.path.join(GRAPHS, "wiki-vote"))
 
@@ -402,6 +411,7 @@ def main():
         with open(BASELINE_CACHE) as f:
             baseline = json.load(f)
     if "value" not in baseline:
+        _phase("measuring reference sim proxy (torch CPU, cold cache only)")
         baseline["metric"] = "mc_sir_sims_per_sec_openflights"
         baseline["value"] = _reference_proxy_sims_per_sec(graph)
         baseline["method"] = (
@@ -409,6 +419,7 @@ def main():
             "20 sims extrapolated"
         )
     if "train_epoch_s" not in baseline:
+        _phase("measuring reference train proxy (torch CPU, cold cache only)")
         karate = load_graph(os.path.join(GRAPHS, "karate"))
         proxies = {}
         for name, g, probes in (
@@ -429,13 +440,16 @@ def main():
         with open(BASELINE_CACHE, "w") as f:
             json.dump(baseline, f, indent=2)
 
+    _phase("measuring MC sim throughput (openflights)")
     sims_per_sec, best_s = measure_ours(graph)
     vs = sims_per_sec / baseline["value"]
 
+    _phase("measuring GNODE train epoch (wiki-vote)")
     epoch_s = measure_ours_train_epoch(wiki)
     ref_epoch_s = baseline["train_epoch_s"]["wiki-vote"]["epoch_s"]
     vs_train = ref_epoch_s / epoch_s
 
+    _phase("measuring SpMM apply (wiki-vote)")
     spmm_s = measure_spmm_apply(wiki)
 
     # best-effort (GN_BENCH_MG=0 skips): the enron-scale multigraph train
@@ -446,6 +460,7 @@ def main():
     if os.environ.get("GN_BENCH_MG", "1").strip().lower() not in (
             "0", "false", "off", "no"):
         try:
+            _phase("measuring multigraph train epoch (enron config)")
             mg_epoch_s, mg_steps, mg_kind = measure_mg_epoch()
         except Exception as e:  # noqa: BLE001 — extra metric is best-effort
             print(f"mg-epoch metric skipped: {e!r}", file=sys.stderr,
@@ -594,12 +609,13 @@ def _main_with_retries() -> int:
     retries = int(os.environ.get("GN_BENCH_RETRIES", "4"))
     wait_s = float(os.environ.get("GN_BENCH_RETRY_WAIT", "300"))
     # A wedged child can also HANG with no output forever (observed: a
-    # client that never got past backend init). The measurement child only
-    # prints at the END, so silence is normal for a full run — the watchdog
-    # window must exceed the worst legitimate case: a ~55 min self-healing
-    # mid-run tunnel stall (CLAUDE.md — never reap earlier) plus the run
-    # itself. Past that, the child is dead weight: reap it (plain SIGTERM,
-    # never -9) and let the retry loop take over.
+    # client that never got past backend init). The measurement child
+    # heartbeats between phases (main()::_phase), so the watchdog window
+    # bounds ONE silent phase, not the whole run — it must still exceed the
+    # worst legitimate case: a ~55 min self-healing mid-run tunnel stall
+    # (CLAUDE.md — never reap earlier) plus the longest single phase. Past
+    # that, the child is dead weight: reap it (plain SIGTERM, never -9) and
+    # let the retry loop take over.
     stall_s = float(os.environ.get("GN_BENCH_STALL_TIMEOUT", "5400"))
 
     # If an outer `timeout`/driver SIGTERMs this wrapper, pass a plain

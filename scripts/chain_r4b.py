@@ -10,10 +10,11 @@ Queue (first missing item each cycle, CSV-driven like chain_r4.py):
      (runs_r3/ngraphs_enron — ode_nn 1-4 + GCN/GIN trial 1 already landed)
 
 One TPU client at a time, bounded sleep-and-retry on failure, never kills
-(CLAUDE.md rules). --resume is appended always: it is a no-op without a
-checkpoint, checkpoint dirs are keyed by (trial, model, dataset), and a
-COMPLETED prior run of the same (model, trial) already has a CSV row and is
-skipped by the queue.
+(CLAUDE.md rules). --resume follows the monitorer's mtime gate: it is added
+only on RE-attempts of a job whose checkpoint advanced since this process
+first launched it — a checkpoint that predates the job (e.g. a COMPLETED
+prior run of the same (model, trial) whose CSV row was trimmed to re-drive
+the repeat) must not be restored as the fresh repeat's result.
 
 Usage:  nohup python -u scripts/chain_r4b.py > runs_r4/chain_r4b.log 2>&1 &
 """
@@ -75,7 +76,7 @@ def worker_argv(cfg, model: str, trial: int) -> list:
         "--deltaT", "0.5", "--maxTime", "20", "--sim", "10000",
         "--trial", str(trial), "--dataset", cfg["dataset"],
         "--path_to_save", cfg["path_to_save"], "--model", model,
-        "--seed", "0", "--init_seed", str(trial - 1), "--resume",
+        "--seed", "0", "--init_seed", str(trial - 1),
     ]
 
 
@@ -85,19 +86,36 @@ def next_job():
         have = done_rows(cfg)
         for model, trial in cfg["jobs"]:
             if (model, trial) not in have:
-                return (f"{key}-{model}-trial{trial}",
-                        worker_argv(cfg, model, trial))
+                return (f"{key}-{model}-trial{trial}", cfg, model, trial)
     return None
 
 
 def main() -> int:
     os.chdir(REPO)
+    # --resume mtime gate (shared logic with cli.monitorer.run_matrix): the
+    # checkpoint mtime at a job's FIRST launch in this process; later
+    # attempts resume only if the checkpoint advanced past it.
+    from gn_ode_sir_tpu.cli.monitorer import _newest_mtime
+    from gn_ode_sir_tpu.cli.worker import checkpoint_dir_for
+
+    ckpt_baseline: dict = {}
     for cycle in range(1, MAX_CYCLES + 1):
         job = next_job()
         if job is None:
             print(f"[chain] queue drained after {cycle - 1} cycles", flush=True)
             return 0
-        name, argv = job
+        name, cfg, model, trial = job
+        argv = worker_argv(cfg, model, trial)
+        ckpt_dir = checkpoint_dir_for(
+            cfg["path_to_save"], trial, model, cfg["dataset"]
+        )
+        if name not in ckpt_baseline:
+            ckpt_baseline[name] = _newest_mtime(ckpt_dir)
+        else:
+            now = _newest_mtime(ckpt_dir)
+            before = ckpt_baseline[name]
+            if now is not None and (before is None or now > before):
+                argv.append("--resume")
         print(f"[chain] cycle {cycle}/{MAX_CYCLES}: {name}: {' '.join(argv)}",
               flush=True)
         t0 = time.time()
