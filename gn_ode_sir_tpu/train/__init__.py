@@ -24,6 +24,11 @@ from gn_ode_sir_tpu.train.loop import (
     make_train_epoch_fn,
 )
 from gn_ode_sir_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from gn_ode_sir_tpu.train.ensemble import (
+    EnsembleFitResult,
+    fit_ensemble,
+    init_ensemble,
+)
 from gn_ode_sir_tpu.train.multigraph import (
     MultigraphConnectivity,
     assemble_multigraph_trials,
@@ -49,6 +54,9 @@ __all__ = [
     "make_train_epoch_fn",
     "save_checkpoint",
     "restore_checkpoint",
+    "EnsembleFitResult",
+    "fit_ensemble",
+    "init_ensemble",
     "MultigraphConnectivity",
     "assemble_multigraph_trials",
     "multigraph_adj_fns",

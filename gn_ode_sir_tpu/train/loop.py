@@ -77,18 +77,16 @@ def _batch_loss(model, params, adj_fn, node_mask_fn, d, bidx, bw, rng=None,
     return loss, items
 
 
-def make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn=None,
-                        n_view=None) -> Callable:
-    """One-jit whole-epoch trainer: scan over minibatch index rows.
+def train_epoch_body(model, optimizer, adj_fn, node_mask_fn=None,
+                     n_view=None) -> Callable:
+    """The un-jitted whole-epoch trainer body — scan over minibatch rows.
 
-    ``n_view`` (see :func:`_batch_loss`) runs the whole compiled epoch at a
-    node-bucket width smaller than the data's global padding — the adjacency
-    returned by ``adj_fn`` must be built for the same width. ``fit`` resolves
-    it automatically from ``adj_fn.n_view`` when the connectivity provider
-    declares one (``multigraph_pallas2_fns``).
+    Exposed separately from :func:`make_train_epoch_fn` so ensemble training
+    can wrap it in ``vmap`` over a leading member axis before jitting
+    (``train/ensemble.py``) while the single-run path jits it directly:
+    both compile the SAME per-member program.
     """
 
-    @jax.jit
     def train_epoch(params, opt_state, d, batch_idx, batch_w, rng_key):
         def step(carry, xs):
             params, opt_state = carry
@@ -116,10 +114,23 @@ def make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn=None,
     return train_epoch
 
 
-def make_eval_fn(model, adj_fn, node_mask_fn=None, n_view=None) -> Callable:
-    """Batched evaluation scan returning the item-weighted mean L1."""
+def make_train_epoch_fn(model, optimizer, adj_fn, node_mask_fn=None,
+                        n_view=None) -> Callable:
+    """One-jit whole-epoch trainer: scan over minibatch index rows.
 
-    @jax.jit
+    ``n_view`` (see :func:`_batch_loss`) runs the whole compiled epoch at a
+    node-bucket width smaller than the data's global padding — the adjacency
+    returned by ``adj_fn`` must be built for the same width. ``fit`` resolves
+    it automatically from ``adj_fn.n_view`` when the connectivity provider
+    declares one (``multigraph_pallas2_fns``).
+    """
+    return jax.jit(train_epoch_body(model, optimizer, adj_fn, node_mask_fn,
+                                    n_view=n_view))
+
+
+def eval_body(model, adj_fn, node_mask_fn=None, n_view=None) -> Callable:
+    """Un-jitted evaluation scan body (see :func:`train_epoch_body`)."""
+
     def evaluate(params, d, batch_idx, batch_w):
         def step(_, xs):
             bidx, bw = xs
@@ -131,6 +142,11 @@ def make_eval_fn(model, adj_fn, node_mask_fn=None, n_view=None) -> Callable:
         return loss_sums.sum() / item_counts.sum()
 
     return evaluate
+
+
+def make_eval_fn(model, adj_fn, node_mask_fn=None, n_view=None) -> Callable:
+    """Batched evaluation scan returning the item-weighted mean L1."""
+    return jax.jit(eval_body(model, adj_fn, node_mask_fn, n_view=n_view))
 
 
 def make_eval_per_trial_fn(model, adj_fn, node_mask_fn=None, n_view=None) -> Callable:

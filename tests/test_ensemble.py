@@ -1,0 +1,172 @@
+"""Vmapped ensemble training (train/ensemble.py): member-by-member equality
+with sequential fit(), mesh sharding of the member axis, exact-trace resume.
+
+The reference's repeat protocol is K sequential subprocesses differing only
+in model init (monitorer-ngraphs.py:20); fit_ensemble must reproduce each of
+those runs exactly while compiling once.
+"""
+
+import numpy as np
+import jax
+import optax
+import pytest
+
+from gn_ode_sir_tpu.models import GNODE
+from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
+from gn_ode_sir_tpu.train import (
+    build_trial_data,
+    fit,
+    fit_ensemble,
+    init_ensemble,
+    split_indices,
+)
+
+
+SEEDS = [3, 7, 11]
+
+
+def _dataset(g, N=12, T=8):
+    from gn_ode_sir_tpu.sim import sir_classical
+
+    rng = np.random.default_rng(0)
+    seed_sets, betas, gammas, triples = [], [], [], []
+    for _ in range(N):
+        seeds = rng.choice(g.n_nodes, 2, replace=False)
+        beta, gamma = rng.uniform(0.1, 0.5), rng.uniform(0.1, 0.5)
+        i_t, s_t, r_t = sir_classical(g, seeds, beta, gamma, max_time=T)
+        seed_sets.append(list(seeds))
+        betas.append(beta)
+        gammas.append(gamma)
+        triples.append((s_t, i_t, r_t))
+    data = build_trial_data(g.n_nodes, seed_sets, betas, gammas, triples)
+    return data, split_indices(N, (0.6, 0.2, 0.2)), T
+
+
+def _model(T):
+    return GNODE(hidden=8, max_time=T)
+
+
+def test_fit_ensemble_matches_sequential(random_graph):
+    """Each ensemble member's training trace equals the sequential
+    fit(seed=s) run with the same init — repeats are semantically unchanged,
+    only fused into one program."""
+    g = random_graph
+    data, (tr, va, te), T = _dataset(g)
+    model = _model(T)
+    adj = adjacency_from_graph(g)
+    opt = optax.adam(1e-2)
+    epochs, bs = 5, 4
+
+    seq = []
+    for s in SEEDS:
+        params = model.init(jax.random.PRNGKey(s))
+        seq.append(fit(model, opt, params, data, tr, va, te,
+                       lambda gi, aux: aux["adj"], adj_aux={"adj": adj},
+                       epochs=epochs, batch_size=bs, seed=s, verbose=False))
+
+    stack = init_ensemble(model, SEEDS)
+    ens = fit_ensemble(model, opt, stack, data, tr, va, te,
+                       lambda gi, aux: aux["adj"], adj_aux={"adj": adj},
+                       seeds=SEEDS, epochs=epochs, batch_size=bs,
+                       verbose=False)
+
+    for j, r in enumerate(seq):
+        # per-epoch train/val losses
+        for e in range(epochs):
+            _, tr_seq, va_seq = r.history[e]
+            _, tr_ens, va_ens = ens.history[e]
+            np.testing.assert_allclose(tr_ens[j], tr_seq, rtol=2e-5, atol=1e-7)
+            np.testing.assert_allclose(va_ens[j], va_seq, rtol=2e-5, atol=1e-7)
+        assert int(ens.best_epoch[j]) == r.best_epoch
+        np.testing.assert_allclose(ens.best_val_loss[j], r.best_val_loss,
+                                   rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(ens.test_loss[j], r.test_loss,
+                                   rtol=2e-5, atol=1e-7)
+        # final params: batched (vmap) matmuls lower differently than single
+        # ones, so float drift compounds over the optimizer steps — the
+        # per-epoch LOSS equalities above are the semantic contract; params
+        # only need to stay in the same basin
+        for a, b in zip(jax.tree_util.tree_leaves(ens.params),
+                        jax.tree_util.tree_leaves(r.params)):
+            np.testing.assert_allclose(np.asarray(a)[j], np.asarray(b),
+                                       rtol=5e-3, atol=1e-4)
+
+
+def test_fit_ensemble_sharded_matches_unsharded(random_graph):
+    """Sharding the member axis over an 8-device mesh changes nothing but
+    placement (repeats are embarrassingly parallel)."""
+    from jax.sharding import Mesh
+
+    g = random_graph
+    data, (tr, va, te), T = _dataset(g, N=10)
+    model = _model(T)
+    adj = adjacency_from_graph(g)
+    opt = optax.adam(1e-2)
+    seeds = list(range(8))
+    kw = dict(adj_aux={"adj": adj}, seeds=seeds, epochs=3, batch_size=4,
+              verbose=False)
+
+    stack = init_ensemble(model, seeds)
+    plain = fit_ensemble(model, opt, stack, data, tr, va, te,
+                         lambda gi, aux: aux["adj"], **kw)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("ensemble",))
+    stack = init_ensemble(model, seeds)
+    shard = fit_ensemble(model, opt, stack, data, tr, va, te,
+                         lambda gi, aux: aux["adj"], mesh=mesh, **kw)
+
+    np.testing.assert_allclose(shard.best_val_loss, plain.best_val_loss,
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(shard.test_loss, plain.test_loss,
+                               rtol=2e-5, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(shard.params),
+                    jax.tree_util.tree_leaves(plain.params)):
+        # partitioned lowering reorders float ops like vmap does (see the
+        # sequential-equality test) — losses above are the tight contract
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_fit_ensemble_resume_reproduces_trace(random_graph, tmp_path):
+    """Crash + resume at the ensemble level reproduces the uninterrupted
+    run exactly (same contract as fit()'s resume test)."""
+    g = random_graph
+    data, (tr, va, te), T = _dataset(g, N=10)
+    model = _model(T)
+    adj = adjacency_from_graph(g)
+    opt = optax.adam(1e-2)
+    seeds = [1, 2]
+    kw = dict(adj_aux={"adj": adj}, seeds=seeds, batch_size=4, verbose=False)
+
+    full = fit_ensemble(model, opt, init_ensemble(model, seeds), data,
+                        tr, va, te, lambda gi, aux: aux["adj"],
+                        epochs=6, **kw)
+
+    ck = str(tmp_path / "ens")
+    fit_ensemble(model, opt, init_ensemble(model, seeds), data, tr, va, te,
+                 lambda gi, aux: aux["adj"], epochs=3, checkpoint_dir=ck,
+                 checkpoint_every=1, **kw)
+    res = fit_ensemble(model, opt, init_ensemble(model, seeds), data,
+                       tr, va, te, lambda gi, aux: aux["adj"], epochs=6,
+                       checkpoint_dir=ck, checkpoint_every=1, resume=True,
+                       **kw)
+
+    np.testing.assert_allclose(res.best_val_loss, full.best_val_loss,
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_array_equal(res.best_epoch, full.best_epoch)
+    for a, b in zip(jax.tree_util.tree_leaves(res.params),
+                    jax.tree_util.tree_leaves(full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_fit_ensemble_rejects_mismatched_stack(random_graph):
+    g = random_graph
+    data, (tr, va, te), T = _dataset(g, N=10)
+    model = _model(T)
+    adj = adjacency_from_graph(g)
+    stack = init_ensemble(model, [0, 1])
+    with pytest.raises(ValueError, match="leading axis"):
+        fit_ensemble(model, optax.adam(1e-2), stack, data, tr, va, te,
+                     lambda gi, aux: aux["adj"], adj_aux={"adj": adj},
+                     seeds=[0, 1, 2], epochs=1, verbose=False)
