@@ -124,7 +124,10 @@ def _newest_mtime(root: str):
 
 
 def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False,
-               retries: int = 0, retry_wait_s: float = 300.0) -> int:
+               retries: int = 0, retry_wait_s: float = 300.0,
+               ensemble: bool = False) -> int:
+    import itertools
+
     from gn_ode_sir_tpu.cli import worker
 
     if retries and not use_subprocess:
@@ -137,7 +140,7 @@ def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False,
 
     # Enumerate the whole matrix up front so `total` (and `--only` numbering)
     # is correct across datasets of differing trial counts.
-    all_jobs = []  # (dataset, stem, path_to_save, trial, hidden, ii, bb, gg, extra)
+    all_jobs = []  # (dataset, stem, path_to_save, trial, hidden, ii, bb, gg, extra, ens)
     for dataset in cfg.datasets_array:
         stem = os.path.basename(dataset)
         multigraph = "+" in stem
@@ -155,36 +158,49 @@ def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False,
             os.makedirs(path_to_save, exist_ok=True)
             i_indices, betas, gammas = _load_or_create_params(cfg, dataset, path_to_save)
 
-        if cfg.many_graph_instances:
+        if cfg.many_graph_instances and ensemble:
+            # --ensemble: fold runs of identical hidden sizes (the repeat
+            # protocol, hidden_dim_array=[8,8,8,8]) into ONE vmapped worker
+            # writing the same K CSV rows (train/ensemble.py)
+            jobs, trial = [], 1
+            for hidden, grp in itertools.groupby(cfg.hidden_dim_array):
+                k = len(list(grp))
+                extra = ("--ensemble", str(k)) if k > 1 else ()
+                jobs.append((trial, hidden, i_indices, betas, gammas, extra, k))
+                trial += k
+        elif cfg.many_graph_instances:
             # one experiment per hidden size, all trials batched inside it
             jobs = [
-                (hidden, i_indices, betas, gammas, ())
-                for hidden in cfg.hidden_dim_array
+                (t, hidden, i_indices, betas, gammas, (), 1)
+                for t, hidden in enumerate(cfg.hidden_dim_array, start=1)
             ]
         else:
             # legacy per-trial fan-out (monitorer-sim.py:160-201): one worker
             # per (trial, hidden) pair on the transductive node-split protocol
             jobs = [
-                (hidden, [i_indices[k]], [betas[k]], [gammas[k]], ("--node_split",))
-                for k in range(len(i_indices))
-                for hidden in cfg.hidden_dim_array
+                (t, hidden, [i_indices[k]], [betas[k]], [gammas[k]],
+                 ("--node_split",), 1)
+                for t, (k, hidden) in enumerate(
+                    ((k, h) for k in range(len(i_indices))
+                     for h in cfg.hidden_dim_array), start=1)
             ]
-        for trial, job in enumerate(jobs, start=1):
-            all_jobs.append((dataset, stem, path_to_save, trial) + job)
+        for job in jobs:
+            all_jobs.append((dataset, stem, path_to_save) + job)
 
     failures = 0
     total = len(all_jobs)
-    for proc_num, (dataset, stem, path_to_save, trial, hidden, ii, bb, gg, extra) in (
-        enumerate(all_jobs, start=1)
-    ):
+    for proc_num, (dataset, stem, path_to_save, trial, hidden, ii, bb, gg,
+                   extra, ens) in enumerate(all_jobs, start=1):
         if only and proc_num not in only:
             continue
         argv = build_worker_argv(
             cfg, dataset, path_to_save, hidden, trial, ii, bb, gg
         ) + list(extra)
         print(f"[MONITORER] Started experiment {proc_num}/{total}: model={cfg.model} "
-              f"dataset={stem} hidden={hidden}")
-        ckpt_dir = worker.checkpoint_dir_for(path_to_save, trial, cfg.model, dataset)
+              f"dataset={stem} hidden={hidden}"
+              + (f" ensemble={ens}" if ens > 1 else ""))
+        ckpt_dir = worker.checkpoint_dir_for(path_to_save, trial, cfg.model,
+                                             dataset, ensemble=ens)
         ckpt_before = _newest_mtime(ckpt_dir)
         for attempt in range(retries + 1):
             # Retry attempts resume from THIS job's periodic checkpoint
@@ -279,6 +295,12 @@ def main(argv=None) -> int:
                         "process) — rides out transient device outages")
     p.add_argument("--retry_wait", type=float, default=300.0,
                    help="seconds to sleep between retry attempts")
+    p.add_argument("--ensemble", action="store_true",
+                   help="fold identical-hidden repeats (the protocol's "
+                        "hidden_dim_array=[8,8,8,8]) into one vmapped worker "
+                        "per group: one compile + one dispatch per epoch for "
+                        "all K repeats, same K CSV rows. Changes --only "
+                        "numbering (fewer procedures).")
     p.add_argument("--model", default=None)
     p.add_argument("--datasets", nargs="+", default=None)
     p.add_argument("--epochs", type=int, default=None)
@@ -318,7 +340,8 @@ def main(argv=None) -> int:
     if args.seed is not None:
         cfg.seed = args.seed
     return run_matrix(cfg, only=tuple(args.only), use_subprocess=args.subprocess,
-                      retries=args.retry, retry_wait_s=args.retry_wait)
+                      retries=args.retry, retry_wait_s=args.retry_wait,
+                      ensemble=args.ensemble)
 
 
 if __name__ == "__main__":

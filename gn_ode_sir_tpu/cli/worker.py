@@ -32,16 +32,23 @@ def parse_i_indices(raw) -> list[list[int]]:
     return out
 
 
-def checkpoint_dir_for(path_to_save: str, trial, model: str, dataset: str) -> str:
+def checkpoint_dir_for(path_to_save: str, trial, model: str, dataset: str,
+                       ensemble: int = 0) -> str:
     """The Orbax checkpoint directory a worker run with these arguments
     uses. Shared with the monitorer's retry logic, which needs to know
     whether a checkpoint predates the current run (a pre-existing COMPLETED
-    checkpoint must not be silently resumed as a fresh repeat's result)."""
+    checkpoint must not be silently resumed as a fresh repeat's result).
+
+    Ensemble runs get their own directory: their checkpoint holds a
+    K-stacked params pytree that a sequential run of the same trial could
+    not restore (and vice versa)."""
     stem = os.path.basename(dataset)
+    ens = f"-ens{ensemble}" if ensemble and ensemble > 1 else ""
     if "+" in stem:
         names = "-".join(stem.split("+"))
-        return os.path.join(path_to_save, f"ckpt-trial{trial}-{model}-mg-{names}")
-    return os.path.join(path_to_save, f"ckpt-trial{trial}-{model}")
+        return os.path.join(
+            path_to_save, f"ckpt-trial{trial}-{model}{ens}-mg-{names}")
+    return os.path.join(path_to_save, f"ckpt-trial{trial}-{model}{ens}")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -78,6 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "identical trials (the reference's repeats differ "
                         "only by torch's unseeded init). Default: --seed.")
     p.add_argument("--eval_batch_size", type=int, default=8)
+    p.add_argument("--ensemble", type=int, default=0,
+                   help="train K repeats of this experiment as ONE vmapped "
+                        "program (train/ensemble.py) instead of K sequential "
+                        "processes; member j uses init seed --init_seed+j and "
+                        "writes the CSV row of trial --trial+j, exactly as K "
+                        "sequential workers would. Trainable models only; "
+                        "incompatible with --out_of_dist/--node_split.")
     p.add_argument("--rk_baseline", action="store_true", help="also run the RK mean-field baseline")
     p.add_argument("--save_checkpoint", action="store_true", help="save best params via Orbax")
     p.add_argument("--checkpoint_every", type=int, default=0,
@@ -243,6 +257,37 @@ def _fault_injector(args):
     return _FaultInjection(args.die_at_epoch)
 
 
+def _save_result_rows(cfg, dataset_name, res, args, loss_baseline=0.0,
+                      rk_time=0.0):
+    """Write the run's CSV row(s): one for a sequential ``fit`` result, K
+    (trial ``--trial+j`` for member j) for an ensemble result — identical
+    rows to K sequential workers with init seeds ``--init_seed+j``."""
+    import dataclasses as _dc
+
+    from gn_ode_sir_tpu.utils.csvsink import save_trial_to_csv
+
+    if args.ensemble > 1:
+        for j in range(args.ensemble):
+            save_trial_to_csv(
+                _dc.replace(cfg, trial=args.trial + j), dataset_name,
+                int(res.best_epoch[j]), float(res.best_val_loss[j]),
+                float(res.test_loss[j]), loss_baseline, res.test_time, rk_time,
+            )
+    else:
+        save_trial_to_csv(cfg, dataset_name, res.best_epoch, res.best_val_loss,
+                          res.test_loss, loss_baseline, res.test_time, rk_time)
+
+
+def _print_test_loss(args, res, suffix=""):
+    if args.ensemble > 1:
+        for j in range(args.ensemble):
+            print(f"Test Loss{suffix}: {float(res.test_loss[j]):.5f} at "
+                  f"epoch: {int(res.best_epoch[j]):03d} (trial {args.trial + j})")
+    else:
+        print(f"Test Loss{suffix}: {res.test_loss:.5f} at epoch: "
+              f"{res.best_epoch:03d}")
+
+
 def run_trainable(args, g, data, splits):
     import jax
     import optax
@@ -297,37 +342,55 @@ def run_trainable(args, g, data, splits):
         )
         adj = adjacency_from_graph(g)  # auto: dense MXU under the threshold
 
-    params = model.init(jax.random.PRNGKey(args.init_seed))
-    res = fit(
-        model,
-        optax.adam(args.lr),
-        params,
-        data,
-        tr,
-        va,
-        te,
-        lambda gi, aux: aux["adj"],
-        adj_aux={"adj": adj},
+    ckpt_dir = (
+        checkpoint_dir_for(args.path_to_save, args.trial, args.model,
+                           args.dataset, ensemble=args.ensemble)
+        if (args.checkpoint_every or args.resume or args.auto_checkpoint)
+        else None
+    )
+    common = dict(
         epochs=args.epochs,
         batch_size=args.batch_size,
-        seed=args.init_seed,
         eval_batch_size=args.eval_batch_size,
         verbose=True,
         log_every=args.log_every,
         metrics_logger=_fault_injector(args),
-        checkpoint_dir=(
-            checkpoint_dir_for(args.path_to_save, args.trial, args.model,
-                               args.dataset)
-            if (args.checkpoint_every or args.resume or args.auto_checkpoint)
-            else None
-        ),
+        checkpoint_dir=ckpt_dir,
         checkpoint_every=args.checkpoint_every,
         checkpoint_auto_s=float(args.auto_checkpoint),
         resume=args.resume,
-        # out-of-dist runs need the per-trial test-loss vector for the first
-        # OOD CSV (ode_nn_ngraph_sim.py:483)
-        track_test_per_trial=args.out_of_dist,
     )
+    if args.ensemble > 1:
+        # the K-repeat protocol as one compiled program (train/ensemble.py):
+        # member j is seeded exactly like the sequential repeat with
+        # init_seed+j, so the CSV rows match K sequential workers'
+        from gn_ode_sir_tpu.train import fit_ensemble, init_ensemble
+
+        seeds = [args.init_seed + j for j in range(args.ensemble)]
+        res = fit_ensemble(
+            model, optax.adam(args.lr), init_ensemble(model, seeds),
+            data, tr, va, te,
+            lambda gi, aux: aux["adj"], adj_aux={"adj": adj},
+            seeds=seeds, **common,
+        )
+    else:
+        params = model.init(jax.random.PRNGKey(args.init_seed))
+        res = fit(
+            model,
+            optax.adam(args.lr),
+            params,
+            data,
+            tr,
+            va,
+            te,
+            lambda gi, aux: aux["adj"],
+            adj_aux={"adj": adj},
+            seed=args.init_seed,
+            # out-of-dist runs need the per-trial test-loss vector for the
+            # first OOD CSV (ode_nn_ngraph_sim.py:483)
+            track_test_per_trial=args.out_of_dist,
+            **common,
+        )
     if args.save_checkpoint:
         from gn_ode_sir_tpu.train import save_checkpoint
 
@@ -415,7 +478,6 @@ def run_multigraph(args):
         multigraph_split,
     )
     from gn_ode_sir_tpu.utils.config import ExperimentConfig
-    from gn_ode_sir_tpu.utils.csvsink import save_trial_to_csv
 
     if args.model not in ("ode_nn", "GCN", "GIN"):
         raise SystemExit(
@@ -535,11 +597,8 @@ def run_multigraph(args):
         **pallas_kw)
     print(f"multigraph adjacency backend: {conn.kind}")
 
-    params = model.init(jax.random.PRNGKey(args.init_seed))
-    res = fit(
-        model, optax.adam(args.lr), params, data, tr, va, te,
-        **conn.fit_kwargs(),
-        epochs=args.epochs, batch_size=args.batch_size, seed=args.init_seed,
+    common = dict(
+        epochs=args.epochs, batch_size=args.batch_size,
         eval_batch_size=args.eval_batch_size,
         verbose=True, log_every=args.log_every,
         metrics_logger=_fault_injector(args),
@@ -548,7 +607,7 @@ def run_multigraph(args):
             # a names-free dir would collide across multigraph runs and a
             # later --resume could silently restore another dataset's params
             checkpoint_dir_for(args.path_to_save, args.trial, args.model,
-                               args.dataset)
+                               args.dataset, ensemble=args.ensemble)
             if (args.checkpoint_every or args.resume or args.auto_checkpoint)
             else None
         ),
@@ -556,6 +615,20 @@ def run_multigraph(args):
         checkpoint_auto_s=float(args.auto_checkpoint),
         resume=args.resume,
     )
+    if args.ensemble > 1:
+        from gn_ode_sir_tpu.train import fit_ensemble, init_ensemble
+
+        seeds = [args.init_seed + j for j in range(args.ensemble)]
+        res = fit_ensemble(
+            model, optax.adam(args.lr), init_ensemble(model, seeds),
+            data, tr, va, te, **conn.fit_kwargs(), seeds=seeds, **common,
+        )
+    else:
+        params = model.init(jax.random.PRNGKey(args.init_seed))
+        res = fit(
+            model, optax.adam(args.lr), params, data, tr, va, te,
+            **conn.fit_kwargs(), seed=args.init_seed, **common,
+        )
 
     # RK mean-field baseline on the UNSEEN graph's test trials: fills the
     # loss_baseline/rk_time CSV columns the reference schema reserves for
@@ -590,10 +663,8 @@ def run_multigraph(args):
         sim=args.sim, dataset=args.dataset, path_to_save=args.path_to_save,
         train_val_test_ratio=list(args.train_val_test_ratio), trial=args.trial,
     )
-    save_trial_to_csv(cfg, "+".join(names), res.best_epoch, res.best_val_loss,
-                      res.test_loss, loss_baseline, res.test_time, rk_time)
-    print(f"Test Loss (unseen graph {names[-1]}): {res.test_loss:.5f} "
-          f"at epoch: {res.best_epoch:03d}")
+    _save_result_rows(cfg, "+".join(names), res, args, loss_baseline, rk_time)
+    _print_test_loss(args, res, suffix=f" (unseen graph {names[-1]})")
     return 0
 
 
@@ -734,6 +805,16 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.init_seed is None:
         args.init_seed = args.seed
+    if args.ensemble > 1:
+        if args.out_of_dist or args.node_split:
+            raise SystemExit(
+                "--ensemble covers the batched trainable protocols only "
+                "(per-trial OOD test tracking and the transductive node-"
+                "split engine run sequentially — drop --ensemble)")
+        if args.model in ("dmp", "rk"):
+            raise SystemExit(
+                f"--ensemble is meaningless for --model {args.model}: the "
+                "closed-form baselines have no trained init to repeat")
     from gn_ode_sir_tpu.utils.config import ExperimentConfig
     from gn_ode_sir_tpu.utils.csvsink import csv_trials, save_trial_to_csv
 
@@ -771,10 +852,7 @@ def main(argv=None):
         loss_baseline, rk_time = run_rk(args, g, data, splits)
 
     if not args.out_of_dist:
-        save_trial_to_csv(
-            cfg, dataset_name, res.best_epoch, res.best_val_loss, res.test_loss,
-            loss_baseline, res.test_time, rk_time,
-        )
+        _save_result_rows(cfg, dataset_name, res, args, loss_baseline, rk_time)
     else:
         # out-of-dist runs write the two extra CSVs (ode_nn_ngraph_sim.py:482-484):
         # (1) per-test-trial losses, header = test trial indices (:483)
@@ -792,7 +870,7 @@ def main(argv=None):
             [args.trial, args.model, args.lr, args.epochs, args.deltaT, args.maxTime,
              args.hidden, res.best_epoch, res.best_val_loss, res.test_loss, res.test_time],
         )
-    print(f"Test Loss: {res.test_loss:.5f} at epoch: {res.best_epoch:03d}")
+    _print_test_loss(args, res)
     return 0
 
 

@@ -352,3 +352,61 @@ def test_checkpoint_dir_naming():
         "/p/ckpt-trial3-ode_nn"
     assert checkpoint_dir_for("/p", 1, "GCN", "./real_graphs/a+b+c") == \
         "/p/ckpt-trial1-GCN-mg-a-b-c"
+
+
+def test_worker_ensemble_matches_sequential_repeats(tmp_path):
+    """--ensemble K writes the SAME K CSV rows as K sequential workers with
+    init seeds --init_seed+j / trials --trial+j (the repeat protocol fused
+    into one vmapped program, train/ensemble.py)."""
+    import pandas as pd
+
+    seq_dir, ens_dir = tmp_path / "seq", tmp_path / "ens"
+    for trial, init_seed in ((1, 5), (2, 6)):
+        rc = worker.main(_base_argv(
+            seq_dir, "ode_nn",
+            extra=["--trial", str(trial), "--init_seed", str(init_seed)]))
+        assert rc == 0
+    rc = worker.main(_base_argv(
+        ens_dir, "ode_nn",
+        extra=["--trial", "1", "--init_seed", "5", "--ensemble", "2"]))
+    assert rc == 0
+
+    seq = pd.read_csv(seq_dir / "Metrics-trials-karate")
+    ens = pd.read_csv(ens_dir / "Metrics-trials-karate")
+    assert len(seq) == len(ens) == 2
+    assert list(ens["trial"]) == [1, 2]
+    for col in ("best_epoch", "hidden", "trial"):
+        assert list(ens[col]) == list(seq[col])
+    for col in ("val_loss", "test_loss"):
+        np.testing.assert_allclose(ens[col], seq[col], rtol=2e-5, atol=1e-7)
+
+
+def test_worker_ensemble_rejects_unsupported_modes(tmp_path):
+    with pytest.raises(SystemExit, match="ensemble"):
+        worker.main(_base_argv(tmp_path, "ode_nn",
+                               extra=["--ensemble", "2", "--out_of_dist"]))
+    with pytest.raises(SystemExit, match="ensemble"):
+        worker.main(_base_argv(tmp_path, "dmp", extra=["--ensemble", "2"]))
+    with pytest.raises(SystemExit, match="ensemble"):
+        worker.main(_base_argv(tmp_path, "ode_nn",
+                               extra=["--ensemble", "2", "--node_split"]))
+
+
+def test_monitorer_ensemble_groups_repeats(tmp_path, capsys):
+    """--ensemble folds the hidden_dim_array repeat runs into one procedure
+    that writes one CSV row per repeat."""
+    import pandas as pd
+
+    cfg = monitorer.MatrixConfig(
+        epochs=1, trials_per_number=3, hidden_dim_array=(8, 8),
+        datasets_array=(KARATE,), sim=100, max_time=8, batch_size=2,
+        experiments_root=str(tmp_path), seed=7,
+    )
+    rc = monitorer.run_matrix(cfg, ensemble=True)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Started experiment 1/1:" in out
+    assert "ensemble=2" in out
+    df = pd.read_csv(tmp_path / "Experiments-seed2-karate" /
+                     "Metrics-trials-karate")
+    assert list(df["trial"]) == [1, 2]
