@@ -49,7 +49,8 @@ from gn_ode_sir_tpu.train.loop import (  # noqa: E402
 GRAPHS = os.environ.get(
     "GN_ODE_SIR_DATA_ROOT", os.path.join(os.path.dirname(__file__), "..", "..", "reference")
 )
-HIDDEN, BATCH, MAX_TIME, DELTA_T, STEPS = 64, 1, 20, 0.5, 120
+HIDDEN = int(os.environ.get("GN_PROBE_HIDDEN", "64"))
+BATCH, MAX_TIME, DELTA_T, STEPS = 1, 20, 0.5, 120
 REPEATS = int(os.environ.get("GN_PROBE_REPEATS", "6"))
 
 
@@ -141,6 +142,7 @@ def main():
 
     s4 = results.get("K4", float("nan"))
     summary = {
+        "hidden": HIDDEN,
         "single_epoch_s": results["single"],
         "ens_epoch_s": {k: v for k, v in results.items() if k != "single"},
         "protocol4_speedup": results["single"] * 4 / s4,
@@ -148,7 +150,7 @@ def main():
     }
     print(json.dumps(summary), flush=True)
     out = os.path.join(os.path.dirname(__file__), "..", "runs_r4",
-                       "probe_ensemble.json")
+                       f"probe_ensemble_h{HIDDEN}.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
     print(f"wrote {out}", flush=True)
