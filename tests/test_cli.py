@@ -410,3 +410,23 @@ def test_monitorer_ensemble_groups_repeats(tmp_path, capsys):
     df = pd.read_csv(tmp_path / "Experiments-seed2-karate" /
                      "Metrics-trials-karate")
     assert list(df["trial"]) == [1, 2]
+
+
+def test_worker_ensemble_multigraph(tmp_path):
+    """--ensemble on a '+'-dataset: K members train on the padded multigraph
+    connectivity and write K rows with the unseen-graph protocol."""
+    import pandas as pd
+
+    argv = [
+        "--dataset", "/root/reference/real_graphs/karate+dolphins",
+        "--model", "ode_nn", "--hidden", "8", "--epochs", "2", "--lr", "1e-3",
+        "--batch_size", "4", "--sim", "100", "--maxTime", "8",
+        "--instances_per_graph", "4", "6",
+        "--path_to_save", str(tmp_path), "--log_every", "10", "--seed", "1",
+        "--ensemble", "2",
+    ]
+    rc = worker.main(argv)
+    assert rc == 0
+    df = pd.read_csv(tmp_path / "Metrics-trials-karate+dolphins")
+    assert list(df["trial"]) == [1, 2]
+    assert np.isfinite(df["test_loss"]).all()

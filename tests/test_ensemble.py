@@ -170,3 +170,53 @@ def test_fit_ensemble_rejects_mismatched_stack(random_graph):
         fit_ensemble(model, optax.adam(1e-2), stack, data, tr, va, te,
                      lambda gi, aux: aux["adj"], adj_aux={"adj": adj},
                      seeds=[0, 1, 2], epochs=1, verbose=False)
+
+
+def test_fit_ensemble_pallas2_multigraph_matches_sequential(tmp_path):
+    """The stacked-Pallas2 multigraph backend (the enron-scale matrix path)
+    composes with the ensemble vmap: member 0 of a K=2 ensemble reproduces
+    the sequential fit(seed=seeds[0]) trace on the same grouped batches."""
+    import networkx as nx
+    import optax
+
+    from gn_ode_sir_tpu.graphs.graph import graph_from_networkx
+    from gn_ode_sir_tpu.train import (
+        assemble_multigraph_trials,
+        multigraph_pallas2_fns,
+        multigraph_split,
+    )
+
+    graphs = [graph_from_networkx(nx.cycle_graph(12), name="cyc12"),
+              graph_from_networkx(nx.wheel_graph(19), name="wheel19")]
+    rng = np.random.default_rng(0)
+    counts = [6, 8]
+    per_graph = [[
+        ([int(x) for x in rng.choice(g.n_nodes, 2, replace=False)],
+         float(rng.uniform(0.1, 0.5)), float(rng.uniform(0.1, 0.5)))
+        for _ in range(c)
+    ] for g, c in zip(graphs, counts)]
+    batch, data = assemble_multigraph_trials(
+        graphs, per_graph, sim=100, max_time=8,
+        label_dirs=[str(tmp_path / g.name) for g in graphs],
+    )
+    tr, va, te = multigraph_split(counts)
+    model = GNODE(hidden=8, max_time=8)
+    opt = optax.adam(1e-2)
+    tr_fn, ev_fn, mask_fn, aux_p = multigraph_pallas2_fns(
+        batch, eval_graph=-1, k_edges=32, r_rows=8, interpret=True)
+    kw = dict(adj_aux=aux_p, eval_adj_fn=ev_fn, batch_by_graph=True,
+              epochs=3, batch_size=4, node_mask_fn=mask_fn, verbose=False)
+
+    seeds = [4, 9]
+    seq = fit(model, opt, model.init(jax.random.PRNGKey(seeds[0])),
+              data, tr, va, te, tr_fn, seed=seeds[0], **kw)
+    ens = fit_ensemble(model, opt, init_ensemble(model, seeds), data,
+                       tr, va, te, tr_fn, seeds=seeds, **kw)
+    assert np.isfinite(np.asarray(ens.test_loss)).all()
+    for e in range(3):
+        np.testing.assert_allclose(ens.history[e][1][0], seq.history[e][1],
+                                   rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(ens.history[e][2][0], seq.history[e][2],
+                                   rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(ens.test_loss[0], seq.test_loss,
+                               rtol=2e-5, atol=1e-7)
