@@ -67,6 +67,21 @@ def main(dataset: str = "/root/reference/real_graphs/karate",
         print(f"best val L1 {result.best_val_loss:.4f} at epoch "
               f"{result.best_epoch}; held-out test L1 {result.test_loss:.4f}")
 
+    # 3b. Repeats as a tensor axis: K differently-initialized members train
+    #     in ONE compiled program (the protocol's hidden_dim_array repeats;
+    #     pass mesh=Mesh(...) to shard the member axis over devices).
+    from gn_ode_sir_tpu.train import fit_ensemble, init_ensemble
+
+    ens_seeds = [seed, seed + 1]
+    ens = fit_ensemble(model, optax.adam(1e-3),
+                       init_ensemble(model, ens_seeds), data,
+                       train_idx, val_idx, test_idx, lambda gi: adj,
+                       seeds=ens_seeds, epochs=max(epochs // 4, 1),
+                       batch_size=4, verbose=False)
+    if verbose:
+        tl = "/".join(f"{float(x):.4f}" for x in ens.test_loss)
+        print(f"2-member ensemble (one vmapped program): test L1 {tl}")
+
     # 4. Predict per-node S/I/R trajectories with the trained parameters.
     k = int(test_idx[0])
     probs = model.predict(result.params, adj,
