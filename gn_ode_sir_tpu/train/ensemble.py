@@ -162,16 +162,44 @@ def fit_ensemble(
     n_view = getattr(adj_fn, "n_view", None)
     e_adj_fn = eval_adj_fn or adj_fn
     e_n_view = getattr(e_adj_fn, "n_view", None)
-    # one member's program, vmapped over the stacked member axis; d and the
-    # eval batch rows are shared (in_axes=None) — XLA broadcasts the gather
-    train_epoch = jax.jit(jax.vmap(
-        train_epoch_body(model, optimizer, adj_fn, node_mask_fn, n_view=n_view),
-        in_axes=(0, 0, None, 0, 0, 0),
-    ))
-    evaluate = jax.jit(jax.vmap(
-        eval_body(model, e_adj_fn, node_mask_fn, n_view=e_n_view),
-        in_axes=(0, None, None, None),
-    ))
+    # Member-axis routing. Default: one member's program vmapped over the
+    # stacked axis (d and the eval batch rows shared via in_axes=None — XLA
+    # broadcasts the gather). EXCEPT for the Pallas plan-stack multigraph
+    # backend: vmap's batching rule pushes the member axis into the kernel's
+    # VMEM block, which blows the scoped-VMEM limit at enron-scale eval
+    # width (measured: K=2 block 33.6 MB > 23.3 MB) and runs the train
+    # epoch ~4x slower per member at the train width; the kernel grid is
+    # sequential on a TensorCore anyway, so those backends run members with
+    # lax.map inside ONE jitted program — identical per-member HLO, same
+    # device work, keeping the ensemble's one-compile/one-process win.
+    # GN_ENS_SCAN=0/1 overrides; a sharded mesh forces vmap (the member
+    # axis must stay a real array axis to partition).
+    import os
+
+    _scan_env = os.environ.get("GN_ENS_SCAN")
+    if _scan_env is not None:
+        member_scan = _scan_env not in ("0", "false")
+    else:
+        member_scan = bool(
+            getattr(adj_fn, "requires_grouped_batches", False)
+            or getattr(e_adj_fn, "requires_grouped_batches", False))
+    member_scan = member_scan and mesh is None
+
+    _tr = train_epoch_body(model, optimizer, adj_fn, node_mask_fn,
+                           n_view=n_view)
+    _ev = eval_body(model, e_adj_fn, node_mask_fn, n_view=e_n_view)
+    if member_scan:
+        def _train_scan(ps, os_, d, bik, bwk, keys):
+            return jax.lax.map(
+                lambda x: _tr(x[0], x[1], d, x[2], x[3], x[4]),
+                (ps, os_, bik, bwk, keys))
+
+        train_epoch = jax.jit(_train_scan)
+        evaluate = jax.jit(lambda ps, d, bi, bw: jax.lax.map(
+            lambda p: _ev(p, d, bi, bw), ps))
+    else:
+        train_epoch = jax.jit(jax.vmap(_tr, in_axes=(0, 0, None, 0, 0, 0)))
+        evaluate = jax.jit(jax.vmap(_ev, in_axes=(0, None, None, None)))
 
     if mesh is not None:
         size = dict(zip(mesh.axis_names, mesh.devices.shape))[mesh_axis]
