@@ -23,8 +23,15 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-GRAPHS = "dolphins+fb-food+fb-social+openflights+wiki-vote"
-RUN_DIR = os.path.join(REPO, "runs_r4", "ngraphs_wv_ens")
+CONFIGS = {
+    "wv": ("dolphins+fb-food+fb-social+openflights+wiki-vote",
+           "ngraphs_wv_ens"),
+    "enron": ("dolphins+fb-food+fb-social+openflights+wiki-vote+enron",
+              "ngraphs_en_ens"),
+}
+_cfg = CONFIGS[sys.argv[1] if len(sys.argv) > 1 else "wv"]
+GRAPHS, _dirname = _cfg
+RUN_DIR = os.path.join(REPO, "runs_r4", _dirname)
 CSV_PATH = os.path.join(RUN_DIR, f"Metrics-trials-{GRAPHS}")
 MODELS = ["ode_nn", "GCN", "GIN"]
 MAX_CYCLES = 30
@@ -56,7 +63,7 @@ def worker_argv(model: str) -> list:
         "--batch_size", "8", "--train_val_test_ratio", "0.6", "0.2", "0.2",
         "--deltaT", "0.5", "--maxTime", "20", "--sim", "10000",
         "--trial", "1", "--dataset", f"./real_graphs/{GRAPHS}",
-        "--path_to_save", "./runs_r4/ngraphs_wv_ens", "--model", model,
+        "--path_to_save", f"./runs_r4/{_dirname}", "--model", model,
         "--seed", "0", "--init_seed", "0", "--ensemble", "4",
         "--log_every", "25",
     ]
@@ -82,7 +89,7 @@ def newest_mtime(root: str):
 
 def wait_for_foreign_client():
     """Block while a pre-existing TPU client (pid file) is alive."""
-    pid_file = "/tmp/wv_ens.pid"
+    pid_file = "/tmp/wv_ens.pid"  # any known prior client
     try:
         with open(pid_file) as f:
             pid = int(f.read().strip())
