@@ -137,6 +137,20 @@ def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False,
         print("[MONITORER] --retry forces --subprocess (a failed backend "
               "init is cached per process)")
         use_subprocess = True
+    if ensemble:
+        # reject combinations the worker would SystemExit on (in-process
+        # that would kill the whole matrix at the first job) and ones the
+        # fold would silently not apply to
+        if cfg.out_of_dist or cfg.model in ("dmp", "rk"):
+            raise SystemExit(
+                f"--ensemble cannot drive this matrix (model={cfg.model}, "
+                f"out_of_dist={cfg.out_of_dist}): the worker rejects "
+                "--ensemble for OOD runs and untrained baselines")
+        if not cfg.many_graph_instances:
+            raise SystemExit(
+                "--ensemble folds the batched repeat protocol only; the "
+                "legacy per-trial node-split fan-out (--per_trial) runs "
+                "sequential workers — drop one of the flags")
 
     # Enumerate the whole matrix up front so `total` (and `--only` numbering)
     # is correct across datasets of differing trial counts.

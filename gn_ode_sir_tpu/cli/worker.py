@@ -394,8 +394,11 @@ def run_trainable(args, g, data, splits):
     if args.save_checkpoint:
         from gn_ode_sir_tpu.train import save_checkpoint
 
+        # ensemble saves are K-stacked pytrees a sequential run could not
+        # restore — they get the -ensK directory, like the periodic ones
         save_checkpoint(
-            os.path.join(args.path_to_save, f"ckpt-trial{args.trial}-{args.model}"),
+            checkpoint_dir_for(args.path_to_save, args.trial, args.model,
+                               args.dataset, ensemble=args.ensemble),
             {"params": res.params, "best_epoch": res.best_epoch},
         )
     return res

@@ -176,13 +176,27 @@ def fit_ensemble(
     # axis must stay a real array axis to partition).
     import os
 
+    plan_stacked = bool(
+        getattr(adj_fn, "requires_grouped_batches", False)
+        or getattr(e_adj_fn, "requires_grouped_batches", False))
     _scan_env = os.environ.get("GN_ENS_SCAN")
     if _scan_env is not None:
-        member_scan = _scan_env not in ("0", "false")
+        member_scan = _scan_env.strip().lower() not in ("0", "false", "no", "off")
     else:
-        member_scan = bool(
-            getattr(adj_fn, "requires_grouped_batches", False)
-            or getattr(e_adj_fn, "requires_grouped_batches", False))
+        member_scan = plan_stacked
+    if mesh is not None and plan_stacked and _scan_env is None:
+        # vmapping pallas_call puts the member axis in the kernel's VMEM
+        # block (scoped-VMEM compile failure at enron width), and lax.map
+        # can't shard the member axis — fail loudly instead of compiling
+        # a program the comment above documents as broken at scale.
+        raise ValueError(
+            "mesh-sharded ensembles vmap the member axis, which is "
+            "incompatible with Pallas plan-stack connectivity at scale "
+            "(the member axis lands in the kernel's VMEM block). Run "
+            "unsharded (members lax.map inside one program), or force "
+            "the vmap path explicitly with GN_ENS_SCAN=0 on a config "
+            "small enough to fit."
+        )
     member_scan = member_scan and mesh is None
 
     _tr = train_epoch_body(model, optimizer, adj_fn, node_mask_fn,

@@ -23,6 +23,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 CONFIGS = {
     "wv": ("dolphins+fb-food+fb-social+openflights+wiki-vote",
            "ngraphs_wv_ens"),
@@ -70,39 +71,45 @@ def worker_argv(model: str) -> list:
 
 
 def ckpt_dir(model: str) -> str:
-    names = "-".join(GRAPHS.split("+"))
-    return os.path.join(RUN_DIR, f"ckpt-trial1-{model}-ens4-mg-{names}")
+    # single source of truth for the naming (incl. the -ensK suffix): a
+    # scheme drift here would silently break the --resume mtime gate
+    from gn_ode_sir_tpu.cli.worker import checkpoint_dir_for
+
+    return checkpoint_dir_for(RUN_DIR, 1, model, GRAPHS, ensemble=4)
 
 
 def newest_mtime(root: str):
-    newest = None
-    if os.path.isdir(root):
-        for r, _, files in os.walk(root):
-            for f in files:
-                try:
-                    m = os.path.getmtime(os.path.join(r, f))
-                except OSError:
-                    continue
-                newest = m if newest is None else max(newest, m)
-    return newest
+    from gn_ode_sir_tpu.cli.monitorer import _newest_mtime
+
+    return _newest_mtime(root)
+
+
+# Pid files other launchers on this box write for their TPU clients (the
+# one-chip rule: never two TPU jobs at once). Best-effort — covers the
+# operator convention `... & echo $! > /tmp/<name>.pid`.
+FOREIGN_PID_FILES = ("/tmp/wv_ens.pid", "/tmp/en_probe.pid",
+                     "/tmp/bench.pid", "/tmp/chain_ens.pid")
 
 
 def wait_for_foreign_client():
-    """Block while a pre-existing TPU client (pid file) is alive."""
-    pid_file = "/tmp/wv_ens.pid"  # any known prior client
-    try:
-        with open(pid_file) as f:
-            pid = int(f.read().strip())
-    except (OSError, ValueError):
-        return
-    while True:
+    """Block while any pre-existing TPU client (pid file) is alive."""
+    me = os.getpid()
+    for pid_file in FOREIGN_PID_FILES:
         try:
-            os.kill(pid, 0)
-        except OSError:
-            return
-        print(f"[CHAIN-ENS] waiting for running TPU client pid {pid}",
-              flush=True)
-        time.sleep(60)
+            with open(pid_file) as f:
+                pid = int(f.read().strip())
+        except (OSError, ValueError):
+            continue
+        if pid == me or pid == os.getppid():
+            continue
+        while True:
+            try:
+                os.kill(pid, 0)
+            except OSError:
+                break
+            print(f"[CHAIN-ENS] waiting for running TPU client pid {pid} "
+                  f"({pid_file})", flush=True)
+            time.sleep(60)
 
 
 def main() -> int:

@@ -430,3 +430,26 @@ def test_worker_ensemble_multigraph(tmp_path):
     df = pd.read_csv(tmp_path / "Metrics-trials-karate+dolphins")
     assert list(df["trial"]) == [1, 2]
     assert np.isfinite(df["test_loss"]).all()
+
+
+def test_monitorer_ensemble_rejects_incompatible_configs(tmp_path):
+    cfg = monitorer.MatrixConfig(model="dmp", datasets_array=(KARATE,),
+                                 experiments_root=str(tmp_path))
+    with pytest.raises(SystemExit, match="ensemble"):
+        monitorer.run_matrix(cfg, ensemble=True)
+    cfg = monitorer.MatrixConfig(many_graph_instances=False,
+                                 datasets_array=(KARATE,),
+                                 experiments_root=str(tmp_path))
+    with pytest.raises(SystemExit, match="ensemble"):
+        monitorer.run_matrix(cfg, ensemble=True)
+
+
+def test_worker_ensemble_save_checkpoint_uses_ens_dir(tmp_path):
+    """--ensemble --save_checkpoint must not write a K-stacked pytree into
+    the sequential trial's checkpoint directory."""
+    rc = worker.main(_base_argv(
+        tmp_path, "ode_nn",
+        extra=["--ensemble", "2", "--save_checkpoint"]))
+    assert rc == 0
+    assert (tmp_path / "ckpt-trial1-ode_nn-ens2").is_dir()
+    assert not (tmp_path / "ckpt-trial1-ode_nn").exists()
