@@ -141,11 +141,11 @@ def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False,
         # reject combinations the worker would SystemExit on (in-process
         # that would kill the whole matrix at the first job) and ones the
         # fold would silently not apply to
-        if cfg.out_of_dist or cfg.model in ("dmp", "rk"):
+        if cfg.model in ("dmp", "rk"):
             raise SystemExit(
-                f"--ensemble cannot drive this matrix (model={cfg.model}, "
-                f"out_of_dist={cfg.out_of_dist}): the worker rejects "
-                "--ensemble for OOD runs and untrained baselines")
+                f"--ensemble cannot drive this matrix (model={cfg.model}): "
+                "the worker rejects --ensemble for untrained baselines, "
+                "which have no model init to repeat")
         if not cfg.many_graph_instances:
             raise SystemExit(
                 "--ensemble folds the batched repeat protocol only; the "

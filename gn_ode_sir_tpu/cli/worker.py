@@ -371,7 +371,9 @@ def run_trainable(args, g, data, splits):
             model, optax.adam(args.lr), init_ensemble(model, seeds),
             data, tr, va, te,
             lambda gi, aux: aux["adj"], adj_aux={"adj": adj},
-            seeds=seeds, **common,
+            seeds=seeds,
+            track_test_per_trial=args.out_of_dist,
+            **common,
         )
     else:
         params = model.init(jax.random.PRNGKey(args.init_seed))
@@ -809,11 +811,11 @@ def main(argv=None):
     if args.init_seed is None:
         args.init_seed = args.seed
     if args.ensemble > 1:
-        if args.out_of_dist or args.node_split:
+        if args.node_split:
             raise SystemExit(
                 "--ensemble covers the batched trainable protocols only "
-                "(per-trial OOD test tracking and the transductive node-"
-                "split engine run sequentially — drop --ensemble)")
+                "(the transductive node-split engine runs sequentially — "
+                "drop --ensemble)")
         if args.model in ("dmp", "rk"):
             raise SystemExit(
                 f"--ensemble is meaningless for --model {args.model}: the "
@@ -857,22 +859,36 @@ def main(argv=None):
     if not args.out_of_dist:
         _save_result_rows(cfg, dataset_name, res, args, loss_baseline, rk_time)
     else:
-        # out-of-dist runs write the two extra CSVs (ode_nn_ngraph_sim.py:482-484):
-        # (1) per-test-trial losses, header = test trial indices (:483)
+        # out-of-dist runs write the two extra CSVs (ode_nn_ngraph_sim.py:482-484);
+        # an ensemble writes one row per member (trial --trial+j), identical
+        # to K sequential OOD workers
         test_idx = splits[2]
-        csv_trials(
-            os.path.join(args.path_to_save, f"Out-of-dist-gamma-{dataset_name}"),
-            [str(int(i)) for i in test_idx],
-            [float(x) for x in res.test_loss_all],
+        per_trial_rows = (
+            [res.test_loss_all[j] for j in range(args.ensemble)]
+            if args.ensemble > 1 else [res.test_loss_all]
         )
-        # (2) the per-run summary row (:484)
-        csv_trials(
-            os.path.join(args.path_to_save, f"Out-of-dist-gamma-trials-{dataset_name}"),
-            ["trial", "model", "lr", "epochs", "deltaT", "maxTime", "hidden",
-             "best_epoch", "val_loss", "test_loss", "n_ode_time"],
-            [args.trial, args.model, args.lr, args.epochs, args.deltaT, args.maxTime,
-             args.hidden, res.best_epoch, res.best_val_loss, res.test_loss, res.test_time],
+        summary_rows = (
+            [(args.trial + j, int(res.best_epoch[j]), float(res.best_val_loss[j]),
+              float(res.test_loss[j])) for j in range(args.ensemble)]
+            if args.ensemble > 1
+            else [(args.trial, res.best_epoch, res.best_val_loss, res.test_loss)]
         )
+        for losses in per_trial_rows:
+            # (1) per-test-trial losses, header = test trial indices (:483)
+            csv_trials(
+                os.path.join(args.path_to_save, f"Out-of-dist-gamma-{dataset_name}"),
+                [str(int(i)) for i in test_idx],
+                [float(x) for x in losses],
+            )
+        for trial, best_epoch, val_loss, test_loss in summary_rows:
+            # (2) the per-run summary row (:484)
+            csv_trials(
+                os.path.join(args.path_to_save, f"Out-of-dist-gamma-trials-{dataset_name}"),
+                ["trial", "model", "lr", "epochs", "deltaT", "maxTime", "hidden",
+                 "best_epoch", "val_loss", "test_loss", "n_ode_time"],
+                [trial, args.model, args.lr, args.epochs, args.deltaT, args.maxTime,
+                 args.hidden, best_epoch, val_loss, test_loss, res.test_time],
+            )
     _print_test_loss(args, res)
     return 0
 

@@ -33,7 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from gn_ode_sir_tpu.train.data import TrialData, epoch_batches, epoch_batches_grouped
-from gn_ode_sir_tpu.train.loop import _data_to_device, eval_body, train_epoch_body
+from gn_ode_sir_tpu.train.loop import (
+    _data_to_device,
+    eval_body,
+    eval_per_trial_body,
+    train_epoch_body,
+)
 
 __all__ = ["EnsembleFitResult", "fit_ensemble", "init_ensemble"]
 
@@ -58,6 +63,7 @@ class EnsembleFitResult:
     test_time: float  # wall of the last vmapped test eval (all K members)
     history: list  # (epoch, train_loss[K], val_loss[K])
     epoch_times: list
+    test_loss_all: Any = None  # [K, n_test] per-trial losses at each member's best epoch
 
 
 def _member_sharding(mesh, axis):
@@ -97,6 +103,7 @@ def fit_ensemble(
     checkpoint_every: int = 0,
     checkpoint_auto_s: float = 0.0,
     resume: bool = False,
+    track_test_per_trial: bool = False,
     mesh=None,
     mesh_axis: str = "ensemble",
 ) -> EnsembleFitResult:
@@ -106,9 +113,10 @@ def fit_ensemble(
     (connectivity/adj_aux conventions, grouped batching, best-val-triggers-
     test protocol, periodic/auto checkpointing with exact-trace resume);
     member j's batch shuffles and train rng streams are seeded with
-    ``seeds[j]`` exactly as ``fit(seed=seeds[j])`` would. Not supported in
-    ensemble mode: per-trial test-loss tracking (OOD CSVs) and profiling —
-    run those via sequential ``fit``.
+    ``seeds[j]`` exactly as ``fit(seed=seeds[j])`` would, and
+    ``track_test_per_trial`` keeps the per-member [n_test] loss vector the
+    OOD CSVs need (``ode_nn_ngraph_sim.py:483``). Not supported in ensemble
+    mode: profiling — run that via sequential ``fit``.
 
     With ``mesh``, the member axis is sharded over ``mesh_axis`` (K must be a
     multiple of that axis size); everything else is replicated. Repeats never
@@ -202,6 +210,9 @@ def fit_ensemble(
     _tr = train_epoch_body(model, optimizer, adj_fn, node_mask_fn,
                            n_view=n_view)
     _ev = eval_body(model, e_adj_fn, node_mask_fn, n_view=e_n_view)
+    _evt = (eval_per_trial_body(model, e_adj_fn, node_mask_fn, n_view=e_n_view)
+            if track_test_per_trial else None)
+    evaluate_per_trial = None
     if member_scan:
         def _train_scan(ps, os_, d, bik, bwk, keys):
             return jax.lax.map(
@@ -211,9 +222,14 @@ def fit_ensemble(
         train_epoch = jax.jit(_train_scan)
         evaluate = jax.jit(lambda ps, d, bi, bw: jax.lax.map(
             lambda p: _ev(p, d, bi, bw), ps))
+        if _evt is not None:
+            evaluate_per_trial = jax.jit(lambda ps, d, idx: jax.lax.map(
+                lambda p: _evt(p, d, idx), ps))
     else:
         train_epoch = jax.jit(jax.vmap(_tr, in_axes=(0, 0, None, 0, 0, 0)))
         evaluate = jax.jit(jax.vmap(_ev, in_axes=(0, None, None, None)))
+        if _evt is not None:
+            evaluate_per_trial = jax.jit(jax.vmap(_evt, in_axes=(0, None, None)))
 
     if mesh is not None:
         size = dict(zip(mesh.axis_names, mesh.devices.shape))[mesh_axis]
@@ -261,6 +277,8 @@ def fit_ensemble(
     best_val = np.full(K, np.inf)
     best_epoch = np.full(K, -1, np.int64)
     test_loss = np.full(K, np.nan)
+    test_loss_all = None  # [K, n_test] once tracked
+    test_idx_arr = np.asarray(test_idx, np.int32)
     test_time = 0.0
     history, epoch_times = [], []
     start_epoch = 0
@@ -278,7 +296,20 @@ def fit_ensemble(
                 "best_val": best_val, "best_epoch": best_epoch,
                 "test_loss": test_loss,
             }
-            st = restore_checkpoint(checkpoint_dir, target)
+            if track_test_per_trial:
+                # same persistence rule as fit(): the OOD per-trial vector
+                # rides the checkpoint so a resumed run whose val never
+                # re-improves still has its CSV row
+                try:
+                    st = restore_checkpoint(checkpoint_dir, {
+                        **target,
+                        "test_loss_all": np.zeros((K, len(test_idx))),
+                    })
+                    test_loss_all = np.asarray(st["test_loss_all"])
+                except Exception:
+                    st = restore_checkpoint(checkpoint_dir, target)
+            else:
+                st = restore_checkpoint(checkpoint_dir, target)
             params_stack = _put_member(st["params"])
             opt_state = _put_member(st["opt_state"])
             start_epoch = int(st["epoch"]) + 1
@@ -299,11 +330,17 @@ def fit_ensemble(
         ckpt_on_disk = True
         from gn_ode_sir_tpu.train.checkpoint import save_checkpoint
 
-        save_checkpoint(checkpoint_dir, {
+        state = {
             "params": params_stack, "opt_state": opt_state, "epoch": epoch,
             "best_val": best_val, "best_epoch": best_epoch,
             "test_loss": test_loss,
-        })
+        }
+        if track_test_per_trial:
+            state["test_loss_all"] = (
+                np.full((K, len(test_idx)), np.nan)
+                if test_loss_all is None else np.asarray(test_loss_all)
+            )
+        save_checkpoint(checkpoint_dir, state)
 
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
@@ -330,6 +367,13 @@ def fit_ensemble(
             test_all = np.asarray(evaluate(params_stack, d, test_bi, test_bw))
             test_time = time.perf_counter() - t1
             test_loss = np.where(improved, test_all, test_loss)
+            if evaluate_per_trial is not None:
+                per_trial = np.asarray(
+                    evaluate_per_trial(params_stack, d, test_idx_arr))
+                if test_loss_all is None:
+                    test_loss_all = np.full((K, len(test_idx)), np.nan)
+                test_loss_all = np.where(
+                    improved[:, None], per_trial, test_loss_all)
         if verbose and (epoch % log_every == 0 or epoch == epochs - 1):
             tr_s = "/".join(f"{x:.6f}" for x in train_l)
             va_s = "/".join(f"{x:.6f}" for x in val_l)
@@ -360,4 +404,5 @@ def fit_ensemble(
         test_time=test_time,
         history=history,
         epoch_times=epoch_times,
+        test_loss_all=test_loss_all,
     )

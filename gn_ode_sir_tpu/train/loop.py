@@ -149,17 +149,10 @@ def make_eval_fn(model, adj_fn, node_mask_fn=None, n_view=None) -> Callable:
     return jax.jit(eval_body(model, adj_fn, node_mask_fn, n_view=n_view))
 
 
-def make_eval_per_trial_fn(model, adj_fn, node_mask_fn=None, n_view=None) -> Callable:
-    """Per-trial evaluation: loss vector [len(idx)], one entry per trial.
+def eval_per_trial_body(model, adj_fn, node_mask_fn=None, n_view=None) -> Callable:
+    """Un-jitted per-trial evaluation body (see :func:`make_eval_per_trial_fn`);
+    the ensemble engine maps/vmaps it over the member axis."""
 
-    The reference's ``test`` collects a per-batch loss list ``test_loss_all``
-    (``ode_nn_ngraph_sim.py:281-295``; batch_size=1 at the monitorer defaults
-    makes it per-trial) which feeds the first out-of-dist CSV (``:483``).
-    Here each trial is one scan step (a batch of one), so the vector is
-    per-trial regardless of the training batch size.
-    """
-
-    @jax.jit
     def evaluate_per_trial(params, d, idx):
         def step(_, i):
             bidx = i[None]
@@ -173,6 +166,18 @@ def make_eval_per_trial_fn(model, adj_fn, node_mask_fn=None, n_view=None) -> Cal
         return losses
 
     return evaluate_per_trial
+
+
+def make_eval_per_trial_fn(model, adj_fn, node_mask_fn=None, n_view=None) -> Callable:
+    """Per-trial evaluation: loss vector [len(idx)], one entry per trial.
+
+    The reference's ``test`` collects a per-batch loss list ``test_loss_all``
+    (``ode_nn_ngraph_sim.py:281-295``; batch_size=1 at the monitorer defaults
+    makes it per-trial) which feeds the first out-of-dist CSV (``:483``).
+    Here each trial is one scan step (a batch of one), so the vector is
+    per-trial regardless of the training batch size.
+    """
+    return jax.jit(eval_per_trial_body(model, adj_fn, node_mask_fn, n_view=n_view))
 
 
 @dataclasses.dataclass
@@ -324,7 +329,22 @@ def fit(
                 "params": params, "opt_state": opt_state, "epoch": 0,
                 "best_val": 0.0, "best_epoch": 0, "test_loss": 0.0,
             }
-            st = restore_checkpoint(checkpoint_dir, target)
+            if track_test_per_trial:
+                # OOD runs also persist the per-trial test vector (the first
+                # OOD CSV, ode_nn_ngraph_sim.py:483) — without it a resumed
+                # run whose val never re-improves would have nothing to write
+                try:
+                    st = restore_checkpoint(checkpoint_dir, {
+                        **target,
+                        "test_loss_all": np.zeros(len(test_idx)),
+                    })
+                    test_loss_all = np.asarray(st["test_loss_all"])
+                except Exception:
+                    # pre-tracking checkpoint layout: restore without the
+                    # vector; it regenerates at the next val improvement
+                    st = restore_checkpoint(checkpoint_dir, target)
+            else:
+                st = restore_checkpoint(checkpoint_dir, target)
             params, opt_state = st["params"], st["opt_state"]
             start_epoch = int(st["epoch"]) + 1
             best_val = float(st["best_val"])
@@ -350,11 +370,17 @@ def fit(
 
         # NaN test_loss (no val improvement yet) is persisted as-is: coercing
         # it to 0.0 would restore as a fake perfect score on resume.
-        save_checkpoint(checkpoint_dir, {
+        state = {
             "params": params, "opt_state": opt_state, "epoch": epoch,
             "best_val": best_val, "best_epoch": best_epoch,
             "test_loss": test_loss,
-        })
+        }
+        if track_test_per_trial:
+            state["test_loss_all"] = (
+                np.full(len(test_idx), np.nan)
+                if test_loss_all is None else np.asarray(test_loss_all)
+            )
+        save_checkpoint(checkpoint_dir, state)
 
     base_key = jax.random.PRNGKey(seed + 1)
     profiling = False

@@ -383,13 +383,44 @@ def test_worker_ensemble_matches_sequential_repeats(tmp_path):
 
 def test_worker_ensemble_rejects_unsupported_modes(tmp_path):
     with pytest.raises(SystemExit, match="ensemble"):
-        worker.main(_base_argv(tmp_path, "ode_nn",
-                               extra=["--ensemble", "2", "--out_of_dist"]))
-    with pytest.raises(SystemExit, match="ensemble"):
         worker.main(_base_argv(tmp_path, "dmp", extra=["--ensemble", "2"]))
     with pytest.raises(SystemExit, match="ensemble"):
         worker.main(_base_argv(tmp_path, "ode_nn",
                                extra=["--ensemble", "2", "--node_split"]))
+
+
+def test_worker_ensemble_out_of_dist(tmp_path):
+    """--ensemble K + --out_of_dist writes the same two OOD CSVs as K
+    sequential OOD workers (ode_nn_ngraph_sim.py:482-484): K per-trial loss
+    rows keyed by test trial indices, and K summary rows."""
+    import pandas as pd
+
+    seq_dir, ens_dir = tmp_path / "seq", tmp_path / "ens"
+    for trial, init_seed in ((1, 5), (2, 6)):
+        rc = worker.main(_base_argv(
+            seq_dir, "ode_nn",
+            extra=["--out_of_dist", "--trial", str(trial),
+                   "--init_seed", str(init_seed)]))
+        assert rc == 0
+    rc = worker.main(_base_argv(
+        ens_dir, "ode_nn",
+        extra=["--out_of_dist", "--trial", "1", "--init_seed", "5",
+               "--ensemble", "2"]))
+    assert rc == 0
+
+    seq = pd.read_csv(seq_dir / "Out-of-dist-gamma-karate")
+    ens = pd.read_csv(ens_dir / "Out-of-dist-gamma-karate")
+    assert list(seq.columns) == list(ens.columns)  # test trial indices
+    assert len(seq) == len(ens) == 2
+    np.testing.assert_allclose(ens.values, seq.values, rtol=2e-5, atol=1e-7)
+
+    seq_s = pd.read_csv(seq_dir / "Out-of-dist-gamma-trials-karate")
+    ens_s = pd.read_csv(ens_dir / "Out-of-dist-gamma-trials-karate")
+    assert len(seq_s) == len(ens_s) == 2
+    for col in ("trial", "best_epoch", "hidden"):
+        assert list(ens_s[col]) == list(seq_s[col])
+    for col in ("val_loss", "test_loss"):
+        np.testing.assert_allclose(ens_s[col], seq_s[col], rtol=2e-5, atol=1e-7)
 
 
 def test_monitorer_ensemble_groups_repeats(tmp_path, capsys):

@@ -136,7 +136,8 @@ def test_fit_ensemble_resume_reproduces_trace(random_graph, tmp_path):
     adj = adjacency_from_graph(g)
     opt = optax.adam(1e-2)
     seeds = [1, 2]
-    kw = dict(adj_aux={"adj": adj}, seeds=seeds, batch_size=4, verbose=False)
+    kw = dict(adj_aux={"adj": adj}, seeds=seeds, batch_size=4, verbose=False,
+              track_test_per_trial=True)
 
     full = fit_ensemble(model, opt, init_ensemble(model, seeds), data,
                         tr, va, te, lambda gi, aux: aux["adj"],
@@ -154,10 +155,48 @@ def test_fit_ensemble_resume_reproduces_trace(random_graph, tmp_path):
     np.testing.assert_allclose(res.best_val_loss, full.best_val_loss,
                                rtol=2e-5, atol=1e-7)
     np.testing.assert_array_equal(res.best_epoch, full.best_epoch)
+    # the OOD per-trial vector rides the checkpoint (restored, then kept or
+    # overwritten exactly as the uninterrupted run would)
+    np.testing.assert_allclose(res.test_loss_all, full.test_loss_all,
+                               rtol=2e-5, atol=1e-7)
     for a, b in zip(jax.tree_util.tree_leaves(res.params),
                     jax.tree_util.tree_leaves(full.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("scan", ["0", "1"])
+def test_fit_ensemble_per_trial_tracking(random_graph, scan, monkeypatch):
+    """``track_test_per_trial`` keeps each member's [n_test] loss vector (the
+    OOD CSVs' payload, ``ode_nn_ngraph_sim.py:483``) equal to sequential
+    ``fit``'s, on BOTH member routings (vmap and the plan-stack lax.map)."""
+    monkeypatch.setenv("GN_ENS_SCAN", scan)
+    g = random_graph
+    data, (tr, va, te), T = _dataset(g, N=10)
+    model = _model(T)
+    adj = adjacency_from_graph(g)
+    opt = optax.adam(1e-2)
+    epochs, bs = 3, 4
+    seeds = SEEDS[:2]
+
+    seq = []
+    for s in seeds:
+        params = model.init(jax.random.PRNGKey(s))
+        seq.append(fit(model, opt, params, data, tr, va, te,
+                       lambda gi, aux: aux["adj"], adj_aux={"adj": adj},
+                       epochs=epochs, batch_size=bs, seed=s, verbose=False,
+                       track_test_per_trial=True))
+
+    stack = init_ensemble(model, seeds)
+    ens = fit_ensemble(model, opt, stack, data, tr, va, te,
+                       lambda gi, aux: aux["adj"], adj_aux={"adj": adj},
+                       seeds=seeds, epochs=epochs, batch_size=bs,
+                       verbose=False, track_test_per_trial=True)
+
+    assert ens.test_loss_all.shape == (len(seeds), len(te))
+    for j, r in enumerate(seq):
+        np.testing.assert_allclose(ens.test_loss_all[j], r.test_loss_all,
+                                   rtol=2e-5, atol=1e-7)
 
 
 def test_fit_ensemble_rejects_mismatched_stack(random_graph):
