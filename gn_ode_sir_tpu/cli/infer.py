@@ -1,0 +1,224 @@
+"""Serving entry point: score what-if scenarios with a trained checkpoint.
+
+The reference has NO inference-only path — a trained model lives and dies
+inside one worker process (SURVEY.md §5: no ``torch.save`` anywhere), so
+"what does my trained GN-ODE predict for a new outbreak seed / new (β, γ)?"
+requires retraining from scratch there. This is the production-serving
+counterpart the TPU framework adds on top of Orbax checkpointing:
+
+  python -m gn_ode_sir_tpu.cli.infer \
+      --ckpt <orbax dir written by worker --save_checkpoint> \
+      --dataset ./real_graphs/karate --model ode_nn --hidden 64 \
+      --I_indices "[2, 5]" "[7]" --beta 0.3 0.2 --gamma 0.1 0.4 \
+      --out predictions.npz
+
+Every scenario (seed-set, β, γ) is one row of a single batched
+``model.predict`` dispatch — the whole what-if sweep is ONE jitted program.
+With ``--spmd`` the batch shards over all local devices through
+``parallel.spmd.make_spmd_predict_fn`` (params replicated, trials split,
+no collectives — inference has no reduction), which is how a multi-chip
+deployment scores large scenario matrices.
+
+Model/adjacency construction is shared with the training worker
+(``worker.build_model_and_adj``), so a checkpoint is always scored through
+the exact architecture and message-passing backend it was trained with.
+Architecture hyperparameters (``--hidden --method --deltaT --maxTime``...)
+must match the training run; a pytree-structure mismatch fails loudly at
+restore time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from gn_ode_sir_tpu.cli.worker import (
+    build_model_and_adj,
+    build_parser as _worker_parser,
+    parse_i_indices,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    wp = _worker_parser()  # single source of truth for shared defaults
+    w = wp.get_default
+    p = argparse.ArgumentParser(
+        description="Score (seed-set, beta, gamma) scenarios with a trained "
+                    "checkpoint — the inference/serving entry point")
+    p.add_argument("--ckpt", required=True,
+                   help="Orbax checkpoint dir (worker --save_checkpoint or a "
+                        "periodic --checkpoint_every/--auto_checkpoint dir)")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--model", default=w("model"),
+                   choices=["ode_nn", "GCN", "GIN"])
+    # architecture knobs — MUST match the training run
+    p.add_argument("--hidden", type=int, default=w("hidden"))
+    p.add_argument("--method", default=w("method"))
+    p.add_argument("--deltaT", type=float, default=w("deltaT"))
+    p.add_argument("--maxTime", type=int, default=w("maxTime"))
+    p.add_argument("--adjoint", default=w("adjoint"))
+    p.add_argument("--solver_unroll", type=int, default=w("solver_unroll"))
+    p.add_argument("--gnode_dtype", default=w("gnode_dtype"),
+                   choices=["f32", "bf16"])
+    p.add_argument("--spmm", default=w("spmm"),
+                   choices=["auto", "dense", "dense-bf16", "coo", "ell",
+                            "pallas2", "pallas2-bf16"])
+    # scenarios: inline flags (reference --I_indices/--beta/--gamma shapes)
+    # or a JSON file with [{"seeds": [..], "beta": b, "gamma": g}, ...]
+    p.add_argument("--I_indices", nargs="+", default=None,
+                   help="one seed-set per scenario, reference list-string or "
+                        "comma form ('[2, 5]' or 2,5)")
+    p.add_argument("--beta", type=float, nargs="+", default=None)
+    p.add_argument("--gamma", type=float, nargs="+", default=None)
+    p.add_argument("--scenarios", default=None,
+                   help="JSON file: [{'seeds': [...], 'beta': f, 'gamma': f}]")
+    p.add_argument("--out", default="predictions.npz",
+                   help=".npz output: S/I/R [B, T, n] + scenario arrays")
+    p.add_argument("--summary_csv", default=None,
+                   help="optional per-scenario summary CSV (peak infection "
+                        "time/size, final recovered fraction)")
+    p.add_argument("--spmd", action="store_true",
+                   help="shard the scenario batch over all local devices "
+                        "(batch is zero-padded to a device multiple)")
+    return p
+
+
+def load_scenarios(args) -> tuple[list[list[int]], np.ndarray, np.ndarray]:
+    if args.scenarios is not None:
+        with open(args.scenarios) as f:
+            rows = json.load(f)
+        seeds = [list(map(int, r["seeds"])) for r in rows]
+        beta = np.asarray([float(r["beta"]) for r in rows], np.float32)
+        gamma = np.asarray([float(r["gamma"]) for r in rows], np.float32)
+        return seeds, beta, gamma
+    if args.I_indices is None:
+        raise SystemExit("provide --I_indices/--beta/--gamma or --scenarios")
+    seeds = parse_i_indices(args.I_indices)
+    beta = np.asarray(args.beta if args.beta is not None
+                      else [0.2] * len(seeds), np.float32)
+    gamma = np.asarray(args.gamma if args.gamma is not None
+                       else [0.1] * len(seeds), np.float32)
+    if not (len(seeds) == len(beta) == len(gamma)):
+        raise SystemExit(
+            f"scenario arrays must align: {len(seeds)} seed sets, "
+            f"{len(beta)} beta, {len(gamma)} gamma")
+    return seeds, beta, gamma
+
+
+def restore_params(ckpt: str):
+    """Params pytree from either checkpoint layout (best-params save or a
+    periodic fit() state); raw restore, then the 'params' entry."""
+    from gn_ode_sir_tpu.train.checkpoint import restore_checkpoint
+
+    state = restore_checkpoint(ckpt)
+    if isinstance(state, dict) and "params" in state:
+        return state["params"]
+    return state  # a bare params pytree
+
+
+def scenario_batch(n_nodes: int, seeds, beta, gamma):
+    """[B, n] initial indicator rows + [B] params, the model input contract
+    (s0/i0/r0 exactly as the training data builder lays them out)."""
+    b = len(seeds)
+    i0 = np.zeros((b, n_nodes), np.float32)
+    for j, s in enumerate(seeds):
+        i0[j, np.asarray(s, np.int64)] = 1.0
+    s0 = 1.0 - i0
+    r0 = np.zeros_like(i0)
+    return s0, i0, r0, np.asarray(beta, np.float32), np.asarray(gamma, np.float32)
+
+
+def predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma, *, spmd=False):
+    """[T, B, n, 3] probabilities; one jitted dispatch (optionally SPMD)."""
+    import jax
+    import jax.numpy as jnp
+
+    b = s0.shape[0]
+    if spmd and jax.device_count() > 1:
+        from jax.sharding import Mesh
+
+        from gn_ode_sir_tpu.parallel.spmd import make_spmd_predict_fn
+
+        ndev = jax.device_count()
+        pad = (-b) % ndev
+        if pad:
+            rep = lambda a: np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+            s0, i0, r0, beta, gamma = map(rep, (s0, i0, r0, beta, gamma))
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        fn = make_spmd_predict_fn(model, lambda gi, aux: aux["adj"], mesh,
+                                  aux_example={"adj": adj})
+        # restored params sit committed on device 0; hand the mesh program
+        # host arrays so pjit replicates them instead of erroring on the
+        # single-device placement
+        params = jax.tree_util.tree_map(np.asarray, params)
+        batch = {
+            "s0": jnp.asarray(s0), "i0": jnp.asarray(i0), "r0": jnp.asarray(r0),
+            "beta": jnp.asarray(beta), "gamma": jnp.asarray(gamma),
+            "graph_idx": jnp.zeros(s0.shape[0], jnp.int32),
+        }
+        out = fn(params, batch, {"adj": adj})
+        return np.asarray(out)[:, :b]
+    fn = jax.jit(lambda p, a, *xs: model.predict(p, a, *xs, train=False))
+    return np.asarray(fn(params, adj, jnp.asarray(s0), jnp.asarray(i0),
+                         jnp.asarray(r0), jnp.asarray(beta), jnp.asarray(gamma)))
+
+
+def summarize(probs_btn3) -> list[dict]:
+    """Per-scenario epidemic summary from [B, T, n, 3] trajectories."""
+    rows = []
+    for j in range(probs_btn3.shape[0]):
+        i_t = probs_btn3[j, :, :, 1].mean(axis=1)  # expected infected frac
+        rows.append({
+            "scenario": j,
+            "peak_infected_frac": float(i_t.max()),
+            "peak_time": int(i_t.argmax()),
+            "final_recovered_frac": float(probs_btn3[j, -1, :, 2].mean()),
+        })
+    return rows
+
+
+def main(argv=None) -> int:
+    from gn_ode_sir_tpu.cli import apply_data_root_default
+    from gn_ode_sir_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    apply_data_root_default()
+    enable_persistent_compilation_cache()
+    args = build_parser().parse_args(argv)
+
+    from gn_ode_sir_tpu.graphs import load_graph
+
+    g = load_graph(args.dataset)
+    seeds, beta, gamma = load_scenarios(args)
+    model, adj = build_model_and_adj(args, g, batch_size=len(seeds))
+    params = restore_params(args.ckpt)
+    s0, i0, r0, beta, gamma = scenario_batch(g.n_nodes, seeds, beta, gamma)
+    out = predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma,
+                            spmd=args.spmd)  # [T, B, n, 3]
+    probs = np.transpose(out, (1, 0, 2, 3))  # [B, T, n, 3]
+    np.savez(
+        args.out,
+        S=probs[..., 0], I=probs[..., 1], R=probs[..., 2],
+        beta=beta[: probs.shape[0]], gamma=gamma[: probs.shape[0]],
+        seed_sets=np.asarray(
+            [",".join(map(str, s)) for s in seeds], dtype=object),
+    )
+    rows = summarize(probs)
+    if args.summary_csv:
+        import csv
+
+        with open(args.summary_csv, "w", newline="") as f:
+            wtr = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            wtr.writeheader()
+            wtr.writerows(rows)
+    print(json.dumps({"scenarios": len(seeds), "out": args.out,
+                      "summary": rows}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

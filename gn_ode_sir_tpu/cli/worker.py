@@ -288,23 +288,26 @@ def _print_test_loss(args, res, suffix=""):
               f"{res.best_epoch:03d}")
 
 
-def run_trainable(args, g, data, splits):
-    import jax
-    import optax
-
+def build_model_and_adj(args, g, *, batch_size=None):
+    """Model + single-graph adjacency for a trainable family, exactly as
+    the worker trains it. Shared with the serving entry point
+    (``cli/infer.py``) so a restored checkpoint is always scored through
+    the same architecture/backend it was trained with; ``batch_size``
+    overrides ``args.batch_size`` for the solver memory policy (serving
+    batches differ from training batches)."""
     from gn_ode_sir_tpu.models import GCN, GIN, GNODE, TimeUnrolledSIR
     from gn_ode_sir_tpu.ops import gcn_norm_edges
     from gn_ode_sir_tpu.ops.adjacency import CooAdj, adjacency_from_graph
-    from gn_ode_sir_tpu.train import fit
 
     import jax.numpy as jnp
 
-    tr, va, te = splits
     if args.model == "ode_nn":
         from gn_ode_sir_tpu.models.gnode import solver_policy
 
         adjoint, unroll = solver_policy(
-            g.n_nodes, args.hidden, args.batch_size, args.maxTime, args.deltaT,
+            g.n_nodes, args.hidden,
+            args.batch_size if batch_size is None else batch_size,
+            args.maxTime, args.deltaT,
             adjoint=args.adjoint, unroll=args.solver_unroll,
         )
         model = GNODE(
@@ -341,6 +344,17 @@ def run_trainable(args, g, data, splits):
                 penultimate_dim=max(args.hidden // 2, 1), window=args.maxTime)
         )
         adj = adjacency_from_graph(g)  # auto: dense MXU under the threshold
+    return model, adj
+
+
+def run_trainable(args, g, data, splits):
+    import jax
+    import optax
+
+    from gn_ode_sir_tpu.train import fit
+
+    tr, va, te = splits
+    model, adj = build_model_and_adj(args, g)
 
     ckpt_dir = (
         checkpoint_dir_for(args.path_to_save, args.trial, args.model,

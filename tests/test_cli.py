@@ -484,3 +484,73 @@ def test_worker_ensemble_save_checkpoint_uses_ens_dir(tmp_path):
     assert rc == 0
     assert (tmp_path / "ckpt-trial1-ode_nn-ens2").is_dir()
     assert not (tmp_path / "ckpt-trial1-ode_nn").exists()
+
+
+def test_infer_cli_serves_checkpoint(tmp_path):
+    """Serving entry point: worker --save_checkpoint -> cli.infer scores new
+    scenarios through the restored params; trajectories match a direct
+    model.predict with the same params (the checkpoint round-trips) and the
+    probabilities are a valid simplex per node/time."""
+    import json
+
+    from gn_ode_sir_tpu.cli import infer
+
+    rc = worker.main(_base_argv(tmp_path, "ode_nn", extra=["--save_checkpoint"]))
+    assert rc == 0
+    ckpt = tmp_path / "ckpt-trial1-ode_nn"
+    out = tmp_path / "pred.npz"
+    summary = tmp_path / "summary.csv"
+    rc = infer.main([
+        "--ckpt", str(ckpt), "--dataset", KARATE, "--model", "ode_nn",
+        "--hidden", "8", "--maxTime", "8",
+        "--I_indices", "[2, 5]", "[7]",
+        "--beta", "0.3", "0.2", "--gamma", "0.1", "0.4",
+        "--out", str(out), "--summary_csv", str(summary),
+    ])
+    assert rc == 0
+    d = np.load(out, allow_pickle=True)
+    assert d["S"].shape == (2, 8, 34)
+    total = d["S"] + d["I"] + d["R"]
+    np.testing.assert_allclose(total, 1.0, atol=1e-5)
+    assert summary.exists()
+
+    # round-trip check: same params + same inputs through the library API
+    import jax
+
+    from gn_ode_sir_tpu.graphs import load_graph
+
+    g = load_graph(KARATE)
+    args = infer.build_parser().parse_args([
+        "--ckpt", str(ckpt), "--dataset", KARATE, "--hidden", "8",
+        "--maxTime", "8", "--I_indices", "x"])
+    model, adj = worker.build_model_and_adj(args, g, batch_size=2)
+    params = infer.restore_params(str(ckpt))
+    s0, i0, r0, beta, gamma = infer.scenario_batch(
+        g.n_nodes, [[2, 5], [7]], [0.3, 0.2], [0.1, 0.4])
+    direct = model.predict(params, adj, s0, i0, r0,
+                           jax.numpy.asarray(beta), jax.numpy.asarray(gamma))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(direct), (1, 0, 2, 3))[..., 1], d["I"],
+        atol=1e-5)
+
+
+def test_infer_cli_spmd_matches_single_device(tmp_path):
+    """--spmd shards an uneven scenario batch over the host's virtual
+    devices (pad + slice) and reproduces the single-device trajectories."""
+    from gn_ode_sir_tpu.cli import infer
+
+    rc = worker.main(_base_argv(tmp_path, "ode_nn", extra=["--save_checkpoint"]))
+    assert rc == 0
+    ckpt = tmp_path / "ckpt-trial1-ode_nn"
+    common = [
+        "--ckpt", str(ckpt), "--dataset", KARATE, "--hidden", "8",
+        "--maxTime", "8",
+        "--I_indices", "[2, 5]", "[7]", "[1, 4]",
+        "--beta", "0.3", "0.2", "0.25", "--gamma", "0.1", "0.4", "0.3",
+    ]
+    out1, out2 = tmp_path / "p1.npz", tmp_path / "p2.npz"
+    assert infer.main([*common, "--out", str(out1)]) == 0
+    assert infer.main([*common, "--out", str(out2), "--spmd"]) == 0
+    a, b = np.load(out1), np.load(out2)
+    assert b["I"].shape == (3, 8, 34)  # padding sliced back off
+    np.testing.assert_allclose(a["I"], b["I"], atol=1e-5)
