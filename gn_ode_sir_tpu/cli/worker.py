@@ -684,6 +684,17 @@ def run_multigraph(args):
     )
     _save_result_rows(cfg, "+".join(names), res, args, loss_baseline, rk_time)
     _print_test_loss(args, res, suffix=f" (unseen graph {names[-1]})")
+    if args.save_checkpoint:
+        from gn_ode_sir_tpu.train import save_checkpoint
+
+        # best params of the transfer-trained model; GNODE/GCN/GIN params
+        # are graph-agnostic, so this checkpoint serves ANY graph through
+        # cli/infer.py — the deployment story of the ngraphs protocol
+        save_checkpoint(
+            checkpoint_dir_for(args.path_to_save, args.trial, args.model,
+                               args.dataset, ensemble=args.ensemble),
+            {"params": res.params, "best_epoch": res.best_epoch},
+        )
     return 0
 
 

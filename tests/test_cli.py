@@ -554,3 +554,35 @@ def test_infer_cli_spmd_matches_single_device(tmp_path):
     a, b = np.load(out1), np.load(out2)
     assert b["I"].shape == (3, 8, 34)  # padding sliced back off
     np.testing.assert_allclose(a["I"], b["I"], atol=1e-5)
+
+
+def test_infer_cli_serves_multigraph_checkpoint_on_new_graph(tmp_path):
+    """The transfer deployment story: a model trained on the '+'-dataset
+    protocol (train graphs + unseen eval graph) saves a checkpoint whose
+    params are graph-agnostic, so cli.infer scores scenarios on a THIRD
+    graph never seen in training."""
+    from gn_ode_sir_tpu.cli import infer
+
+    argv = [
+        "--dataset", "/root/reference/real_graphs/karate+dolphins",
+        "--model", "ode_nn", "--hidden", "8", "--epochs", "2", "--lr", "1e-3",
+        "--batch_size", "4", "--sim", "100", "--maxTime", "8",
+        "--instances_per_graph", "4", "6",
+        "--path_to_save", str(tmp_path), "--log_every", "10", "--seed", "1",
+        "--save_checkpoint",
+    ]
+    assert worker.main(argv) == 0
+    ckpt = tmp_path / "ckpt-trial1-ode_nn-mg-karate-dolphins"
+    assert ckpt.is_dir()
+    out = tmp_path / "fbfood_pred.npz"
+    rc = infer.main([
+        "--ckpt", str(ckpt),
+        "--dataset", "/root/reference/real_graphs/fb-food",
+        "--model", "ode_nn", "--hidden", "8", "--maxTime", "8",
+        "--I_indices", "[10, 40]", "--beta", "0.3", "--gamma", "0.15",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    d = np.load(out)
+    assert d["I"].shape == (1, 8, 620)  # fb-food width — a new graph
+    np.testing.assert_allclose(d["S"] + d["I"] + d["R"], 1.0, atol=1e-5)
