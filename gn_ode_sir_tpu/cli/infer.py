@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spmd", action="store_true",
                    help="shard the scenario batch over all local devices "
                         "(batch is zero-padded to a device multiple)")
+    p.add_argument("--summary_only", action="store_true",
+                   help="reduce trajectories to per-scenario summaries ON "
+                        "DEVICE and skip the .npz — at large-graph scale "
+                        "the full-trajectory host readback dominates the "
+                        "serving wall")
     return p
 
 
@@ -166,6 +171,33 @@ def predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma, *, spmd=False
                          jnp.asarray(r0), jnp.asarray(beta), jnp.asarray(gamma)))
 
 
+def predict_summaries(model, params, adj, s0, i0, r0, beta, gamma):
+    """Summary-only serving: the [T, B, n, 3] trajectory is reduced ON
+    DEVICE to per-scenario scalars (peak infected fraction/time, final
+    recovered fraction), so the host readback is [B, 3] instead of the
+    full trajectory — at enron scale that readback dominates the serving
+    wall through a network-attached device (measured 5.7 s full-trajectory
+    vs the same compute with a few-float readback; runs_r4/
+    probe_serving.json). Returns the same rows as :func:`summarize`."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(p, a, *xs):
+        probs = model.predict(p, a, *xs, train=False)  # [T, B, n, 3]
+        i_t = probs[..., 1].mean(axis=2)  # [T, B]
+        return jnp.stack(
+            [i_t.max(axis=0), jnp.argmax(i_t, axis=0).astype(jnp.float32),
+             probs[-1, :, :, 2].mean(axis=1)], axis=1)  # [B, 3]
+
+    out = np.asarray(jax.jit(fn)(
+        params, adj, jnp.asarray(s0), jnp.asarray(i0), jnp.asarray(r0),
+        jnp.asarray(beta), jnp.asarray(gamma)))
+    return [{"scenario": j, "peak_infected_frac": float(out[j, 0]),
+             "peak_time": int(out[j, 1]),
+             "final_recovered_frac": float(out[j, 2])}
+            for j in range(out.shape[0])]
+
+
 def summarize(probs_btn3) -> list[dict]:
     """Per-scenario epidemic summary from [B, T, n, 3] trajectories."""
     rows = []
@@ -197,17 +229,20 @@ def main(argv=None) -> int:
     model, adj = build_model_and_adj(args, g, batch_size=len(seeds))
     params = restore_params(args.ckpt)
     s0, i0, r0, beta, gamma = scenario_batch(g.n_nodes, seeds, beta, gamma)
-    out = predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma,
-                            spmd=args.spmd)  # [T, B, n, 3]
-    probs = np.transpose(out, (1, 0, 2, 3))  # [B, T, n, 3]
-    np.savez(
-        args.out,
-        S=probs[..., 0], I=probs[..., 1], R=probs[..., 2],
-        beta=beta[: probs.shape[0]], gamma=gamma[: probs.shape[0]],
-        seed_sets=np.asarray(
-            [",".join(map(str, s)) for s in seeds], dtype=object),
-    )
-    rows = summarize(probs)
+    if args.summary_only:
+        rows = predict_summaries(model, params, adj, s0, i0, r0, beta, gamma)
+    else:
+        out = predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma,
+                                spmd=args.spmd)  # [T, B, n, 3]
+        probs = np.transpose(out, (1, 0, 2, 3))  # [B, T, n, 3]
+        np.savez(
+            args.out,
+            S=probs[..., 0], I=probs[..., 1], R=probs[..., 2],
+            beta=beta[: probs.shape[0]], gamma=gamma[: probs.shape[0]],
+            seed_sets=np.asarray(
+                [",".join(map(str, s)) for s in seeds], dtype=object),
+        )
+        rows = summarize(probs)
     if args.summary_csv:
         import csv
 
@@ -215,7 +250,8 @@ def main(argv=None) -> int:
             wtr = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
             wtr.writeheader()
             wtr.writerows(rows)
-    print(json.dumps({"scenarios": len(seeds), "out": args.out,
+    print(json.dumps({"scenarios": len(seeds),
+                      "out": None if args.summary_only else args.out,
                       "summary": rows}))
     return 0
 

@@ -586,3 +586,43 @@ def test_infer_cli_serves_multigraph_checkpoint_on_new_graph(tmp_path):
     d = np.load(out)
     assert d["I"].shape == (1, 8, 620)  # fb-food width — a new graph
     np.testing.assert_allclose(d["S"] + d["I"] + d["R"], 1.0, atol=1e-5)
+
+
+def test_infer_cli_summary_only_matches_full(tmp_path):
+    """--summary_only reduces on device; rows must equal the host-side
+    summaries of the full trajectory (and no .npz is written)."""
+    import json
+
+    from gn_ode_sir_tpu.cli import infer
+
+    rc = worker.main(_base_argv(tmp_path, "ode_nn", extra=["--save_checkpoint"]))
+    assert rc == 0
+    ckpt = tmp_path / "ckpt-trial1-ode_nn"
+    common = [
+        "--ckpt", str(ckpt), "--dataset", KARATE, "--hidden", "8",
+        "--maxTime", "8", "--I_indices", "[2, 5]", "[7]",
+        "--beta", "0.3", "0.2", "--gamma", "0.1", "0.4",
+    ]
+    out = tmp_path / "full.npz"
+    assert infer.main([*common, "--out", str(out)]) == 0
+    full = np.load(out)
+    host_rows = infer.summarize(np.stack(
+        [full["S"], full["I"], full["R"]], axis=-1))
+
+    skip = tmp_path / "absent.npz"
+    assert infer.main([*common, "--out", str(skip), "--summary_only"]) == 0
+    assert not skip.exists()
+    args = infer.build_parser().parse_args([*common, "--out", str(skip)])
+    from gn_ode_sir_tpu.graphs import load_graph
+    g = load_graph(KARATE)
+    model, adj = worker.build_model_and_adj(args, g, batch_size=2)
+    params = infer.restore_params(str(ckpt))
+    s0, i0, r0, b, gm = infer.scenario_batch(
+        g.n_nodes, [[2, 5], [7]], [0.3, 0.2], [0.1, 0.4])
+    dev_rows = infer.predict_summaries(model, params, adj, s0, i0, r0, b, gm)
+    for h, d in zip(host_rows, dev_rows):
+        assert h["peak_time"] == d["peak_time"]
+        np.testing.assert_allclose(
+            h["peak_infected_frac"], d["peak_infected_frac"], atol=1e-5)
+        np.testing.assert_allclose(
+            h["final_recovered_frac"], d["final_recovered_frac"], atol=1e-5)
