@@ -491,7 +491,6 @@ def test_infer_cli_serves_checkpoint(tmp_path):
     scenarios through the restored params; trajectories match a direct
     model.predict with the same params (the checkpoint round-trips) and the
     probabilities are a valid simplex per node/time."""
-    import json
 
     from gn_ode_sir_tpu.cli import infer
 
@@ -591,7 +590,6 @@ def test_infer_cli_serves_multigraph_checkpoint_on_new_graph(tmp_path):
 def test_infer_cli_summary_only_matches_full(tmp_path):
     """--summary_only reduces on device; rows must equal the host-side
     summaries of the full trajectory (and no .npz is written)."""
-    import json
 
     from gn_ode_sir_tpu.cli import infer
 
