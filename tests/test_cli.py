@@ -624,3 +624,28 @@ def test_infer_cli_summary_only_matches_full(tmp_path):
             h["peak_infected_frac"], d["peak_infected_frac"], atol=1e-5)
         np.testing.assert_allclose(
             h["final_recovered_frac"], d["final_recovered_frac"], atol=1e-5)
+
+
+def test_infer_scenarios_json_and_validation(tmp_path):
+    """--scenarios JSON file loads; misaligned inline arrays exit loudly."""
+    import json
+
+    from gn_ode_sir_tpu.cli import infer
+
+    sc = tmp_path / "sc.json"
+    sc.write_text(json.dumps([
+        {"seeds": [2, 5], "beta": 0.3, "gamma": 0.1},
+        {"seeds": [7], "beta": 0.2, "gamma": 0.4},
+    ]))
+    args = infer.build_parser().parse_args([
+        "--ckpt", "x", "--dataset", "y", "--scenarios", str(sc)])
+    seeds, beta, gamma = infer.load_scenarios(args)
+    assert seeds == [[2, 5], [7]]
+    np.testing.assert_allclose(beta, [0.3, 0.2])
+    np.testing.assert_allclose(gamma, [0.1, 0.4])
+
+    bad = infer.build_parser().parse_args([
+        "--ckpt", "x", "--dataset", "y",
+        "--I_indices", "[2, 5]", "[7]", "--beta", "0.3"])
+    with pytest.raises(SystemExit, match="align"):
+        infer.load_scenarios(bad)
