@@ -30,6 +30,7 @@ restore time.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 
@@ -166,19 +167,22 @@ def predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma, *, spmd=False
         }
         out = fn(params, batch, {"adj": adj})
         return np.asarray(out)[:, :b]
-    fn = jax.jit(lambda p, a, *xs: model.predict(p, a, *xs, train=False))
+    fn = _predict_jit(model)
     return np.asarray(fn(params, adj, jnp.asarray(s0), jnp.asarray(i0),
                          jnp.asarray(r0), jnp.asarray(beta), jnp.asarray(gamma)))
 
 
-def predict_summaries(model, params, adj, s0, i0, r0, beta, gamma):
-    """Summary-only serving: the [T, B, n, 3] trajectory is reduced ON
-    DEVICE to per-scenario scalars (peak infected fraction/time, final
-    recovered fraction), so the host readback is [B, 3] instead of the
-    full trajectory — at enron scale that readback dominates the serving
-    wall through a network-attached device (measured 5.7 s full-trajectory
-    vs the same compute with a few-float readback; runs_r4/
-    probe_serving.json). Returns the same rows as :func:`summarize`."""
+@functools.cache  # models are frozen dataclasses — hashable jit-cache keys.
+def _predict_jit(model):
+    # One wrapper per model so repeated serving calls reuse the compiled
+    # executable (a fresh jit(lambda) per call would re-trace every time).
+    import jax
+
+    return jax.jit(lambda p, a, *xs: model.predict(p, a, *xs, train=False))
+
+
+@functools.cache
+def _summary_jit(model):
     import jax
     import jax.numpy as jnp
 
@@ -189,7 +193,20 @@ def predict_summaries(model, params, adj, s0, i0, r0, beta, gamma):
             [i_t.max(axis=0), jnp.argmax(i_t, axis=0).astype(jnp.float32),
              probs[-1, :, :, 2].mean(axis=1)], axis=1)  # [B, 3]
 
-    out = np.asarray(jax.jit(fn)(
+    return jax.jit(fn)
+
+
+def predict_summaries(model, params, adj, s0, i0, r0, beta, gamma):
+    """Summary-only serving: the [T, B, n, 3] trajectory is reduced ON
+    DEVICE to per-scenario scalars (peak infected fraction/time, final
+    recovered fraction), so the host readback is [B, 3] instead of the
+    full trajectory — at enron scale that readback dominates the serving
+    wall through a network-attached device (measured 5.7 s full-trajectory
+    vs the same compute with a few-float readback; runs_r4/
+    probe_serving.json). Returns the same rows as :func:`summarize`."""
+    import jax.numpy as jnp
+
+    out = np.asarray(_summary_jit(model)(
         params, adj, jnp.asarray(s0), jnp.asarray(i0), jnp.asarray(r0),
         jnp.asarray(beta), jnp.asarray(gamma)))
     return [{"scenario": j, "peak_infected_frac": float(out[j, 0]),
