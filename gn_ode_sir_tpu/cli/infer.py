@@ -23,8 +23,11 @@ Model/adjacency construction is shared with the training worker
 (``worker.build_model_and_adj``), so a checkpoint is always scored through
 the exact architecture and message-passing backend it was trained with.
 Architecture hyperparameters (``--hidden --method --deltaT --maxTime``...)
-must match the training run; a pytree-structure mismatch fails loudly at
-restore time.
+must match the training run; restored params are validated against the
+declared architecture's pytree (structure + leaf shapes) before serving,
+so a wrong ``--hidden``/``--model`` — or pointing ``--ckpt`` at a
+K-stacked ``-ensK`` ensemble directory — fails with a clear message
+instead of serving a silently different model.
 """
 
 from __future__ import annotations
@@ -115,14 +118,47 @@ def load_scenarios(args) -> tuple[list[list[int]], np.ndarray, np.ndarray]:
 
 
 def restore_params(ckpt: str):
-    """Params pytree from either checkpoint layout (best-params save or a
-    periodic fit() state); raw restore, then the 'params' entry."""
+    """Params pytree from any checkpoint layout, best-val weights preferred.
+
+    Layouts, newest first: ``<ckpt>/serve`` (the worker's
+    ``--save_checkpoint`` best-params save), ``<ckpt>/state`` (a periodic
+    fit() state — its ``best_params`` entry when present, else the
+    final-epoch ``params`` of older checkpoints). Raw (target-free)
+    restore: params feed jit as host arrays, no optimizer structure needed.
+    """
     from gn_ode_sir_tpu.train.checkpoint import restore_checkpoint
 
-    state = restore_checkpoint(ckpt)
-    if isinstance(state, dict) and "params" in state:
-        return state["params"]
-    return state  # a bare params pytree
+    for name in ("serve", "state"):
+        if os.path.isdir(os.path.join(ckpt, name)):
+            state = restore_checkpoint(ckpt, name=name)
+            if isinstance(state, dict):
+                if state.get("best_params") is not None:
+                    return state["best_params"]
+                if "params" in state:
+                    return state["params"]
+            return state  # a bare params pytree
+    raise SystemExit(
+        f"no checkpoint found under {ckpt} (expected a 'serve' or 'state' "
+        "subdirectory written by the worker)")
+
+
+def check_params_match(model, params) -> None:
+    """Fail loudly when restored params don't fit the declared architecture
+    (wrong --hidden/--model, or a K-stacked -ensK ensemble checkpoint)."""
+    import jax
+
+    # a real (tiny) init, not eval_shape: init() may do host-side work
+    expect = model.init(jax.random.PRNGKey(0))
+    exp_t = jax.tree_util.tree_structure(expect)
+    got_t = jax.tree_util.tree_structure(params)
+    exp_s = [tuple(l.shape) for l in jax.tree_util.tree_leaves(expect)]
+    got_s = [tuple(np.shape(l)) for l in jax.tree_util.tree_leaves(params)]
+    if exp_t != got_t or exp_s != got_s:
+        raise SystemExit(
+            "checkpoint params do not match the declared architecture "
+            f"(check --model/--hidden, and that --ckpt is not a K-stacked "
+            f"-ensK ensemble directory): expected leaves {exp_s}, "
+            f"checkpoint has {got_s}")
 
 
 def scenario_batch(n_nodes: int, seeds, beta, gamma):
@@ -135,6 +171,9 @@ def scenario_batch(n_nodes: int, seeds, beta, gamma):
     s0 = 1.0 - i0
     r0 = np.zeros_like(i0)
     return s0, i0, r0, np.asarray(beta, np.float32), np.asarray(gamma, np.float32)
+
+
+_SPMD_CACHE: dict = {}
 
 
 def predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma, *, spmd=False):
@@ -153,9 +192,15 @@ def predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma, *, spmd=False
         if pad:
             rep = lambda a: np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
             s0, i0, r0, beta, gamma = map(rep, (s0, i0, r0, beta, gamma))
-        mesh = Mesh(np.asarray(jax.devices()), ("data",))
-        fn = make_spmd_predict_fn(model, lambda gi, aux: aux["adj"], mesh,
-                                  aux_example={"adj": adj})
+        # memoized like _predict_jit: repeat serving calls must reuse the
+        # sharded executable, not rebuild mesh + shard_map every time
+        key = (model, ndev, jax.tree_util.tree_structure(adj))
+        fn = _SPMD_CACHE.get(key)
+        if fn is None:
+            mesh = Mesh(np.asarray(jax.devices()), ("data",))
+            fn = make_spmd_predict_fn(model, lambda gi, aux: aux["adj"], mesh,
+                                      aux_example={"adj": adj})
+            _SPMD_CACHE[key] = fn
         # restored params sit committed on device 0; hand the mesh program
         # host arrays so pjit replicates them instead of erroring on the
         # single-device placement
@@ -243,8 +288,21 @@ def main(argv=None) -> int:
 
     g = load_graph(args.dataset)
     seeds, beta, gamma = load_scenarios(args)
+    if not seeds:
+        raise SystemExit("no scenarios to score (empty --scenarios file?)")
+    for j, s in enumerate(seeds):
+        bad = [v for v in s if not 0 <= int(v) < g.n_nodes]
+        if bad:
+            raise SystemExit(
+                f"scenario {j}: seed nodes {bad} out of range for "
+                f"{g.name} (n_nodes={g.n_nodes})")
+    if args.spmd and args.summary_only:
+        raise SystemExit(
+            "--spmd with --summary_only is not supported yet: the on-device "
+            "reduction runs single-device; drop one of the flags")
     model, adj = build_model_and_adj(args, g, batch_size=len(seeds))
     params = restore_params(args.ckpt)
+    check_params_match(model, params)
     s0, i0, r0, beta, gamma = scenario_batch(g.n_nodes, seeds, beta, gamma)
     if args.summary_only:
         rows = predict_summaries(model, params, adj, s0, i0, r0, beta, gamma)
@@ -255,7 +313,7 @@ def main(argv=None) -> int:
         np.savez(
             args.out,
             S=probs[..., 0], I=probs[..., 1], R=probs[..., 2],
-            beta=beta[: probs.shape[0]], gamma=gamma[: probs.shape[0]],
+            beta=beta, gamma=gamma,
             seed_sets=np.asarray(
                 [",".join(map(str, s)) for s in seeds], dtype=object),
         )

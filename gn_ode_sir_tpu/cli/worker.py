@@ -408,16 +408,27 @@ def run_trainable(args, g, data, splits):
             **common,
         )
     if args.save_checkpoint:
-        from gn_ode_sir_tpu.train import save_checkpoint
-
-        # ensemble saves are K-stacked pytrees a sequential run could not
-        # restore — they get the -ensK directory, like the periodic ones
-        save_checkpoint(
-            checkpoint_dir_for(args.path_to_save, args.trial, args.model,
-                               args.dataset, ensemble=args.ensemble),
-            {"params": res.params, "best_epoch": res.best_epoch},
-        )
+        _save_serve_checkpoint(args, res)
     return res
+
+
+def _save_serve_checkpoint(args, res):
+    """Best-val-epoch params under ``<ckpt dir>/serve`` — the weights the
+    reported test_loss was scored with (``FitResult.best_params``; the
+    final-epoch params would be a different, possibly overfit model). The
+    ``serve`` name keeps the write out of ``<dir>/state``, which belongs to
+    fit()'s periodic/resume protocol. Ensemble saves are K-stacked pytrees
+    a sequential run could not restore — they get the -ensK directory,
+    like the periodic ones."""
+    from gn_ode_sir_tpu.train import save_checkpoint
+
+    best = res.best_params if res.best_params is not None else res.params
+    save_checkpoint(
+        checkpoint_dir_for(args.path_to_save, args.trial, args.model,
+                           args.dataset, ensemble=args.ensemble),
+        {"params": best, "best_epoch": res.best_epoch},
+        name="serve",
+    )
 
 
 def run_dmp(args, g, data, splits):
@@ -685,16 +696,10 @@ def run_multigraph(args):
     _save_result_rows(cfg, "+".join(names), res, args, loss_baseline, rk_time)
     _print_test_loss(args, res, suffix=f" (unseen graph {names[-1]})")
     if args.save_checkpoint:
-        from gn_ode_sir_tpu.train import save_checkpoint
-
-        # best params of the transfer-trained model; GNODE/GCN/GIN params
-        # are graph-agnostic, so this checkpoint serves ANY graph through
-        # cli/infer.py — the deployment story of the ngraphs protocol
-        save_checkpoint(
-            checkpoint_dir_for(args.path_to_save, args.trial, args.model,
-                               args.dataset, ensemble=args.ensemble),
-            {"params": res.params, "best_epoch": res.best_epoch},
-        )
+        # GNODE/GCN/GIN params are graph-agnostic, so this checkpoint
+        # serves ANY graph through cli/infer.py — the deployment story of
+        # the ngraphs protocol
+        _save_serve_checkpoint(args, res)
     return 0
 
 

@@ -64,6 +64,7 @@ class EnsembleFitResult:
     history: list  # (epoch, train_loss[K], val_loss[K])
     epoch_times: list
     test_loss_all: Any = None  # [K, n_test] per-trial losses at each member's best epoch
+    best_params: Any = None  # K-stacked pytree at each member's best-val epoch
 
 
 def _member_sharding(mesh, axis):
@@ -276,6 +277,8 @@ def fit_ensemble(
 
     best_val = np.full(K, np.inf)
     best_epoch = np.full(K, -1, np.int64)
+    best_params_stack = params_stack  # per-member snapshot at each member's
+    # best-val epoch (leaves selected member-wise on improvement)
     test_loss = np.full(K, np.nan)
     test_loss_all = None  # [K, n_test] once tracked
     test_idx_arr = np.asarray(test_idx, np.int32)
@@ -296,22 +299,29 @@ def fit_ensemble(
                 "best_val": best_val, "best_epoch": best_epoch,
                 "test_loss": test_loss,
             }
-            if track_test_per_trial:
-                # same persistence rule as fit(): the OOD per-trial vector
-                # rides the checkpoint so a resumed run whose val never
-                # re-improves still has its CSV row
+            # same persistence rules as fit(): optional keys newest-layout-
+            # first — "best_params" (the per-member serving snapshot) and,
+            # on OOD runs, "test_loss_all" (the per-trial vector that rides
+            # the checkpoint so a resumed run whose val never re-improves
+            # still has its CSV row)
+            extras = (
+                {"test_loss_all": np.zeros((K, len(test_idx)))}
+                if track_test_per_trial else {}
+            )
+            st = None
+            for extra in ({**extras, "best_params": params_stack}, extras, {}):
                 try:
-                    st = restore_checkpoint(checkpoint_dir, {
-                        **target,
-                        "test_loss_all": np.zeros((K, len(test_idx))),
-                    })
-                    test_loss_all = np.asarray(st["test_loss_all"])
+                    st = restore_checkpoint(checkpoint_dir, {**target, **extra})
+                    break
                 except Exception:
-                    st = restore_checkpoint(checkpoint_dir, target)
-            else:
+                    continue
+            if st is None:  # surface the real restore error
                 st = restore_checkpoint(checkpoint_dir, target)
+            if track_test_per_trial and "test_loss_all" in st:
+                test_loss_all = np.asarray(st["test_loss_all"])
             params_stack = _put_member(st["params"])
             opt_state = _put_member(st["opt_state"])
+            best_params_stack = st.get("best_params", st["params"])
             start_epoch = int(st["epoch"]) + 1
             best_val = np.asarray(st["best_val"])
             best_epoch = np.asarray(st["best_epoch"], np.int64)
@@ -333,7 +343,7 @@ def fit_ensemble(
         state = {
             "params": params_stack, "opt_state": opt_state, "epoch": epoch,
             "best_val": best_val, "best_epoch": best_epoch,
-            "test_loss": test_loss,
+            "test_loss": test_loss, "best_params": best_params_stack,
         }
         if track_test_per_trial:
             state["test_loss_all"] = (
@@ -363,6 +373,11 @@ def fit_ensemble(
         if improved.any():
             best_val = np.where(improved, val_l, best_val)
             best_epoch = np.where(improved, epoch, best_epoch)
+            imp = jnp.asarray(improved)
+            best_params_stack = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(
+                    imp.reshape((K,) + (1,) * (p.ndim - 1)), p, b),
+                best_params_stack, params_stack)
             t1 = time.perf_counter()
             test_all = np.asarray(evaluate(params_stack, d, test_bi, test_bw))
             test_time = time.perf_counter() - t1
@@ -405,4 +420,5 @@ def fit_ensemble(
         history=history,
         epoch_times=epoch_times,
         test_loss_all=test_loss_all,
+        best_params=best_params_stack,
     )

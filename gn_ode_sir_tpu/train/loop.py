@@ -191,6 +191,8 @@ class FitResult:
     history: list  # (epoch, train_loss, val_loss)
     epoch_times: list
     test_loss_all: Any = None  # per-trial test losses at the best-val epoch
+    best_params: Any = None  # params at the best-val epoch (the weights the
+    # reported test_loss was scored with — the serving snapshot)
 
 
 def fit(
@@ -311,6 +313,9 @@ def fit(
 
     best_val = float("inf")
     best_epoch = -1
+    best_params = params  # snapshot at each val improvement (pytrees are
+    # immutable, so this is an alias, not a copy — one extra params-sized
+    # live buffer at most)
     test_loss = float("nan")
     test_loss_all = None
     test_time = 0.0
@@ -329,23 +334,29 @@ def fit(
                 "params": params, "opt_state": opt_state, "epoch": 0,
                 "best_val": 0.0, "best_epoch": 0, "test_loss": 0.0,
             }
-            if track_test_per_trial:
-                # OOD runs also persist the per-trial test vector (the first
-                # OOD CSV, ode_nn_ngraph_sim.py:483) — without it a resumed
-                # run whose val never re-improves would have nothing to write
+            # Optional keys appear newest-layout-first; older checkpoints
+            # fall back key-set by key-set: "best_params" (round 4 — the
+            # serving snapshot at the best-val epoch) and, on OOD runs,
+            # "test_loss_all" (the per-trial test vector for the first OOD
+            # CSV, ode_nn_ngraph_sim.py:483 — without it a resumed run
+            # whose val never re-improves would have nothing to write).
+            extras = (
+                {"test_loss_all": np.zeros(len(test_idx))}
+                if track_test_per_trial else {}
+            )
+            st = None
+            for extra in ({**extras, "best_params": params}, extras, {}):
                 try:
-                    st = restore_checkpoint(checkpoint_dir, {
-                        **target,
-                        "test_loss_all": np.zeros(len(test_idx)),
-                    })
-                    test_loss_all = np.asarray(st["test_loss_all"])
+                    st = restore_checkpoint(checkpoint_dir, {**target, **extra})
+                    break
                 except Exception:
-                    # pre-tracking checkpoint layout: restore without the
-                    # vector; it regenerates at the next val improvement
-                    st = restore_checkpoint(checkpoint_dir, target)
-            else:
+                    continue
+            if st is None:  # surface the real restore error
                 st = restore_checkpoint(checkpoint_dir, target)
+            if track_test_per_trial and "test_loss_all" in st:
+                test_loss_all = np.asarray(st["test_loss_all"])
             params, opt_state = st["params"], st["opt_state"]
+            best_params = st.get("best_params", params)
             start_epoch = int(st["epoch"]) + 1
             best_val = float(st["best_val"])
             best_epoch = int(st["best_epoch"])
@@ -373,7 +384,7 @@ def fit(
         state = {
             "params": params, "opt_state": opt_state, "epoch": epoch,
             "best_val": best_val, "best_epoch": best_epoch,
-            "test_loss": test_loss,
+            "test_loss": test_loss, "best_params": best_params,
         }
         if track_test_per_trial:
             state["test_loss_all"] = (
@@ -413,6 +424,7 @@ def fit(
         if val_loss < best_val:
             best_val = val_loss
             best_epoch = epoch
+            best_params = params
             t1 = time.perf_counter()
             test_loss = float(evaluate(params, d, test_bi, test_bw))
             if evaluate_per_trial is not None:
@@ -473,4 +485,5 @@ def fit(
         history=history,
         epoch_times=epoch_times,
         test_loss_all=test_loss_all,
+        best_params=best_params,
     )

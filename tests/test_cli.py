@@ -649,3 +649,34 @@ def test_infer_scenarios_json_and_validation(tmp_path):
         "--I_indices", "[2, 5]", "[7]", "--beta", "0.3"])
     with pytest.raises(SystemExit, match="align"):
         infer.load_scenarios(bad)
+
+
+def test_infer_cli_rejects_architecture_mismatch(tmp_path):
+    """A wrong --hidden must fail loudly, not serve a silently different
+    model (restored params are validated against the declared pytree)."""
+    from gn_ode_sir_tpu.cli import infer
+
+    rc = worker.main(_base_argv(tmp_path, "ode_nn", extra=["--save_checkpoint"]))
+    assert rc == 0
+    with pytest.raises(SystemExit, match="architecture"):
+        infer.main([
+            "--ckpt", str(tmp_path / "ckpt-trial1-ode_nn"),
+            "--dataset", KARATE, "--hidden", "16", "--maxTime", "8",
+            "--I_indices", "[2, 5]", "--beta", "0.3", "--gamma", "0.1",
+            "--out", str(tmp_path / "x.npz")])
+
+
+def test_save_checkpoint_preserves_resume_state(tmp_path):
+    """--save_checkpoint writes <dir>/serve and must NOT clobber the
+    <dir>/state tree fit()'s periodic/resume protocol owns."""
+    rc = worker.main(_base_argv(
+        tmp_path, "ode_nn",
+        extra=["--save_checkpoint", "--checkpoint_every", "1"]))
+    assert rc == 0
+    ckpt = tmp_path / "ckpt-trial1-ode_nn"
+    assert (ckpt / "serve").is_dir()
+    assert (ckpt / "state").is_dir()
+    # the resume layout is intact: a --resume rerun restores and completes
+    rc = worker.main(_base_argv(
+        tmp_path, "ode_nn", extra=["--save_checkpoint", "--resume"]))
+    assert rc == 0

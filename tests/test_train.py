@@ -299,3 +299,50 @@ def test_auto_checkpoint_gating(random_graph, tmp_path):
         epochs=6, batch_size=4, verbose=False,
         checkpoint_dir=long_, checkpoint_auto_s=1e-6)
     assert os.path.exists(long_) and os.listdir(long_)
+
+
+def test_fit_best_params_are_best_val_epoch_weights(random_graph):
+    """FitResult.best_params must be the weights of the best-val epoch —
+    re-evaluating them on the val split reproduces best_val_loss exactly,
+    and when the best epoch is not the last one they differ from the
+    final-epoch params (the serving checkpoint must not ship an overfit
+    tail model labeled 'best')."""
+    from gn_ode_sir_tpu.sim import sir_classical
+    from gn_ode_sir_tpu.train.loop import make_eval_fn, _data_to_device
+    from gn_ode_sir_tpu.train.data import epoch_batches as _eb
+
+    g = random_graph
+    rng = np.random.default_rng(1)
+    N, T = 12, 10
+    seed_sets, betas, gammas, triples = [], [], [], []
+    for _ in range(N):
+        seeds = rng.choice(g.n_nodes, 2, replace=False)
+        beta, gamma = rng.uniform(0.1, 0.5), rng.uniform(0.1, 0.5)
+        i_t, s_t, r_t = sir_classical(g, seeds, beta, gamma, max_time=T)
+        seed_sets.append(list(seeds))
+        betas.append(beta)
+        gammas.append(gamma)
+        triples.append((s_t, i_t, r_t))
+    data = build_trial_data(g.n_nodes, seed_sets, betas, gammas, triples)
+    tr, va, te = split_indices(N, (0.6, 0.2, 0.2))
+    model = GNODE(hidden=8, max_time=T)
+    adj = adjacency_from_graph(g)
+    # high lr so the val curve is non-monotone and the best epoch is
+    # (virtually always) not the final one
+    res = fit(model, optax.adam(0.2), model.init(jax.random.PRNGKey(0)),
+              data, tr, va, te, lambda gi: adj,
+              epochs=10, batch_size=4, verbose=False)
+    assert res.best_params is not None
+    evaluate = make_eval_fn(model, lambda gi: adj)
+    d = _data_to_device(data)
+    val_bi, val_bw = _eb(len(va), 8, None)
+    val_bi = np.asarray(va, np.int32)[val_bi]
+    best_val_again = float(evaluate(res.best_params, d, val_bi, val_bw))
+    np.testing.assert_allclose(best_val_again, res.best_val_loss, rtol=1e-6)
+    if res.best_epoch != res.history[-1][0]:
+        diffs = [
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(jax.tree_util.tree_leaves(res.best_params),
+                            jax.tree_util.tree_leaves(res.params))
+        ]
+        assert max(diffs) > 0
