@@ -16,8 +16,9 @@ Every scenario (seed-set, β, γ) is one row of a single batched
 ``model.predict`` dispatch — the whole what-if sweep is ONE jitted program.
 With ``--spmd`` the batch shards over all local devices through
 ``parallel.spmd.make_spmd_predict_fn`` (params replicated, trials split,
-no collectives — inference has no reduction), which is how a multi-chip
-deployment scores large scenario matrices.
+no collectives — the per-scenario summary reduction of ``--summary_only``
+runs inside each shard), which is how a multi-chip deployment scores
+large scenario matrices.
 
 Model/adjacency construction is shared with the training worker
 (``worker.build_model_and_adj``), so a checkpoint is always scored through
@@ -86,7 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "time/size, final recovered fraction)")
     p.add_argument("--spmd", action="store_true",
                    help="shard the scenario batch over all local devices "
-                        "(batch is zero-padded to a device multiple)")
+                        "(batch padded to a device multiple by repeating "
+                        "the last scenario; padding rows are sliced off "
+                        "the output). Composes with --summary_only: each "
+                        "device reduces its own shard")
     p.add_argument("--summary_only", action="store_true",
                    help="reduce trajectories to per-scenario summaries ON "
                         "DEVICE and skip the .npz — at large-graph scale "
@@ -176,42 +180,69 @@ def scenario_batch(n_nodes: int, seeds, beta, gamma):
 _SPMD_CACHE: dict = {}
 
 
+def _summary_reduce(probs):
+    """Per-scenario epidemic summary [T, B, n, 3] -> [B, 3]: peak infected
+    fraction, peak time, final recovered fraction (the device-side twin of
+    :func:`summarize`). Per-scenario, so it shards without a collective."""
+    import jax.numpy as jnp
+
+    i_t = probs[..., 1].mean(axis=2)  # [T, B]
+    return jnp.stack(
+        [i_t.max(axis=0), jnp.argmax(i_t, axis=0).astype(jnp.float32),
+         probs[-1, :, :, 2].mean(axis=1)], axis=1)
+
+
+def _spmd_dispatch(model, params, adj, s0, i0, r0, beta, gamma, *,
+                   summary: bool):
+    """Shard the scenario batch over all local devices and run one sharded
+    program (full trajectories, or the on-device summary reduction when
+    ``summary``). The batch is padded to a device multiple by repeating the
+    last scenario — a guaranteed-valid model input — and the padding rows
+    are sliced back off the output."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from gn_ode_sir_tpu.parallel.spmd import make_spmd_predict_fn
+
+    b = s0.shape[0]
+    ndev = jax.device_count()
+    pad = (-b) % ndev
+    if pad:
+        rep = lambda a: np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+        s0, i0, r0, beta, gamma = map(rep, (s0, i0, r0, beta, gamma))
+    # memoized like _predict_jit: repeat serving calls must reuse the
+    # sharded executable, not rebuild mesh + shard_map every time
+    key = (model, ndev, jax.tree_util.tree_structure(adj), summary)
+    fn = _SPMD_CACHE.get(key)
+    if fn is None:
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        fn = make_spmd_predict_fn(
+            model, lambda gi, aux: aux["adj"], mesh,
+            aux_example={"adj": adj},
+            reduce_fn=_summary_reduce if summary else None)
+        _SPMD_CACHE[key] = fn
+    # restored params sit committed on device 0; hand the mesh program
+    # host arrays so pjit replicates them instead of erroring on the
+    # single-device placement
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch = {
+        "s0": jnp.asarray(s0), "i0": jnp.asarray(i0), "r0": jnp.asarray(r0),
+        "beta": jnp.asarray(beta), "gamma": jnp.asarray(gamma),
+        "graph_idx": jnp.zeros(s0.shape[0], jnp.int32),
+    }
+    out = np.asarray(fn(params, batch, {"adj": adj}))
+    return out[:b] if summary else out[:, :b]
+
+
 def predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma, *, spmd=False):
     """[T, B, n, 3] probabilities; one jitted dispatch (optionally SPMD)."""
     import jax
     import jax.numpy as jnp
 
-    b = s0.shape[0]
     if spmd and jax.device_count() > 1:
-        from jax.sharding import Mesh
-
-        from gn_ode_sir_tpu.parallel.spmd import make_spmd_predict_fn
-
-        ndev = jax.device_count()
-        pad = (-b) % ndev
-        if pad:
-            rep = lambda a: np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
-            s0, i0, r0, beta, gamma = map(rep, (s0, i0, r0, beta, gamma))
-        # memoized like _predict_jit: repeat serving calls must reuse the
-        # sharded executable, not rebuild mesh + shard_map every time
-        key = (model, ndev, jax.tree_util.tree_structure(adj))
-        fn = _SPMD_CACHE.get(key)
-        if fn is None:
-            mesh = Mesh(np.asarray(jax.devices()), ("data",))
-            fn = make_spmd_predict_fn(model, lambda gi, aux: aux["adj"], mesh,
-                                      aux_example={"adj": adj})
-            _SPMD_CACHE[key] = fn
-        # restored params sit committed on device 0; hand the mesh program
-        # host arrays so pjit replicates them instead of erroring on the
-        # single-device placement
-        params = jax.tree_util.tree_map(np.asarray, params)
-        batch = {
-            "s0": jnp.asarray(s0), "i0": jnp.asarray(i0), "r0": jnp.asarray(r0),
-            "beta": jnp.asarray(beta), "gamma": jnp.asarray(gamma),
-            "graph_idx": jnp.zeros(s0.shape[0], jnp.int32),
-        }
-        out = fn(params, batch, {"adj": adj})
-        return np.asarray(out)[:, :b]
+        return _spmd_dispatch(model, params, adj, s0, i0, r0, beta, gamma,
+                              summary=False)
     fn = _predict_jit(model)
     return np.asarray(fn(params, adj, jnp.asarray(s0), jnp.asarray(i0),
                          jnp.asarray(r0), jnp.asarray(beta), jnp.asarray(gamma)))
@@ -229,31 +260,35 @@ def _predict_jit(model):
 @functools.cache
 def _summary_jit(model):
     import jax
-    import jax.numpy as jnp
 
     def fn(p, a, *xs):
-        probs = model.predict(p, a, *xs, train=False)  # [T, B, n, 3]
-        i_t = probs[..., 1].mean(axis=2)  # [T, B]
-        return jnp.stack(
-            [i_t.max(axis=0), jnp.argmax(i_t, axis=0).astype(jnp.float32),
-             probs[-1, :, :, 2].mean(axis=1)], axis=1)  # [B, 3]
+        return _summary_reduce(model.predict(p, a, *xs, train=False))  # [B, 3]
 
     return jax.jit(fn)
 
 
-def predict_summaries(model, params, adj, s0, i0, r0, beta, gamma):
+def predict_summaries(model, params, adj, s0, i0, r0, beta, gamma, *,
+                      spmd=False):
     """Summary-only serving: the [T, B, n, 3] trajectory is reduced ON
     DEVICE to per-scenario scalars (peak infected fraction/time, final
     recovered fraction), so the host readback is [B, 3] instead of the
     full trajectory — at enron scale that readback dominates the serving
-    wall through a network-attached device (measured 5.7 s full-trajectory
-    vs the same compute with a few-float readback; runs_r4/
-    probe_serving.json). Returns the same rows as :func:`summarize`."""
+    wall through a network-attached device (measured 6.4 s full-trajectory
+    vs ~1.9 s with the few-float readback; runs_r4/probe_serving.json).
+    With ``spmd`` the scenario batch additionally shards over all local
+    devices and each device reduces its own shard (no collective — the
+    reduction is per-scenario). Returns the same rows as :func:`summarize`.
+    """
+    import jax
     import jax.numpy as jnp
 
-    out = np.asarray(_summary_jit(model)(
-        params, adj, jnp.asarray(s0), jnp.asarray(i0), jnp.asarray(r0),
-        jnp.asarray(beta), jnp.asarray(gamma)))
+    if spmd and jax.device_count() > 1:
+        out = _spmd_dispatch(model, params, adj, s0, i0, r0, beta, gamma,
+                             summary=True)
+    else:
+        out = np.asarray(_summary_jit(model)(
+            params, adj, jnp.asarray(s0), jnp.asarray(i0), jnp.asarray(r0),
+            jnp.asarray(beta), jnp.asarray(gamma)))
     return [{"scenario": j, "peak_infected_frac": float(out[j, 0]),
              "peak_time": int(out[j, 1]),
              "final_recovered_frac": float(out[j, 2])}
@@ -296,16 +331,13 @@ def main(argv=None) -> int:
             raise SystemExit(
                 f"scenario {j}: seed nodes {bad} out of range for "
                 f"{g.name} (n_nodes={g.n_nodes})")
-    if args.spmd and args.summary_only:
-        raise SystemExit(
-            "--spmd with --summary_only is not supported yet: the on-device "
-            "reduction runs single-device; drop one of the flags")
     model, adj = build_model_and_adj(args, g, batch_size=len(seeds))
     params = restore_params(args.ckpt)
     check_params_match(model, params)
     s0, i0, r0, beta, gamma = scenario_batch(g.n_nodes, seeds, beta, gamma)
     if args.summary_only:
-        rows = predict_summaries(model, params, adj, s0, i0, r0, beta, gamma)
+        rows = predict_summaries(model, params, adj, s0, i0, r0, beta, gamma,
+                                 spmd=args.spmd)
     else:
         out = predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma,
                                 spmd=args.spmd)  # [T, B, n, 3]

@@ -281,7 +281,7 @@ def make_spmd_multigraph_train_step_2d(
 
 def make_spmd_predict_fn(
     model, adj_fn, mesh, axis: str = "data",
-    aux_example=None, node_mask_fn=None,
+    aux_example=None, node_mask_fn=None, reduce_fn=None,
 ) -> Callable:
     """Data-parallel batched INFERENCE — the serving path.
 
@@ -296,6 +296,12 @@ def make_spmd_predict_fn(
     ``adj_fn``/``node_mask_fn`` take ``(graph_idx, aux)``; node masks zero
     padded rows of multigraph outputs so downstream consumers never read
     garbage nodes.
+
+    ``reduce_fn`` (summary-only serving): a per-scenario reduction
+    ``[T, b, n, 3] -> [b, k]`` applied INSIDE each shard before the output
+    leaves the device — the readback is then ``[B, k]`` instead of the full
+    trajectory. The reduction is per-scenario, so sharding it needs no
+    collective: each device summarizes exactly its own batch shard.
     """
 
     in_batch = {
@@ -317,16 +323,20 @@ def make_spmd_predict_fn(
         )
         if mask is not None:
             pred = pred * mask[None, :, :, None]
+        if reduce_fn is not None:
+            pred = reduce_fn(pred)  # [b, k]
         return pred
 
     extra_specs = ()
     if aux_example is not None:
         extra_specs = (jax.tree_util.tree_map(lambda _: P(), aux_example),)
+    out_spec = (P(axis, None) if reduce_fn is not None
+                else P(None, axis, None, None))
     sharded = jax.shard_map(
         local_predict,
         mesh=mesh,
         in_specs=(P(), in_batch, *extra_specs),
-        out_specs=P(None, axis, None, None),
+        out_specs=out_spec,
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -309,7 +309,14 @@ def fit_ensemble(
                 if track_test_per_trial else {}
             )
             st = None
-            for extra in ({**extras, "best_params": params_stack}, extras, {}):
+            # same layout ladder as fit(): both optionals, best_params
+            # alone (OOD newly enabled against a non-OOD checkpoint),
+            # extras alone, neither
+            attempts = [{**extras, "best_params": params_stack}]
+            if extras:
+                attempts.append({"best_params": params_stack})
+            attempts += [extras, {}]
+            for extra in attempts:
                 try:
                     st = restore_checkpoint(checkpoint_dir, {**target, **extra})
                     break

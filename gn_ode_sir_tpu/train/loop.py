@@ -345,7 +345,15 @@ def fit(
                 if track_test_per_trial else {}
             )
             st = None
-            for extra in ({**extras, "best_params": params}, extras, {}):
+            # ladder covers every layout cross-product: both optionals,
+            # best_params alone (e.g. a run resumed with --out_of_dist
+            # newly enabled against a non-OOD checkpoint), extras alone
+            # (pre-round-4 OOD), neither (oldest)
+            attempts = [{**extras, "best_params": params}]
+            if extras:
+                attempts.append({"best_params": params})
+            attempts += [extras, {}]
+            for extra in attempts:
                 try:
                     st = restore_checkpoint(checkpoint_dir, {**target, **extra})
                     break

@@ -626,6 +626,42 @@ def test_infer_cli_summary_only_matches_full(tmp_path):
             h["final_recovered_frac"], d["final_recovered_frac"], atol=1e-5)
 
 
+def test_infer_cli_spmd_summary_only_matches_single_device(tmp_path):
+    """--spmd composed with --summary_only (round 5): the per-scenario
+    reduction runs inside each batch shard; rows must equal the
+    single-device summary path on an UNEVEN batch (pad + slice)."""
+    from gn_ode_sir_tpu.cli import infer
+
+    rc = worker.main(_base_argv(tmp_path, "ode_nn", extra=["--save_checkpoint"]))
+    assert rc == 0
+    ckpt = tmp_path / "ckpt-trial1-ode_nn"
+    common = [
+        "--ckpt", str(ckpt), "--dataset", KARATE, "--hidden", "8",
+        "--maxTime", "8",
+        "--I_indices", "[2, 5]", "[7]", "[1, 4]",
+        "--beta", "0.3", "0.2", "0.25", "--gamma", "0.1", "0.4", "0.3",
+    ]
+    csv1 = tmp_path / "single.csv"
+    csv2 = tmp_path / "spmd.csv"
+    assert infer.main([*common, "--summary_only",
+                       "--summary_csv", str(csv1)]) == 0
+    assert infer.main([*common, "--summary_only", "--spmd",
+                       "--summary_csv", str(csv2)]) == 0
+    import csv as csvmod
+
+    with open(csv1) as f:
+        a = list(csvmod.DictReader(f))
+    with open(csv2) as f:
+        b = list(csvmod.DictReader(f))
+    assert len(a) == len(b) == 3  # padding rows sliced back off
+    for ra, rb in zip(a, b):
+        assert ra["peak_time"] == rb["peak_time"]
+        np.testing.assert_allclose(float(ra["peak_infected_frac"]),
+                                   float(rb["peak_infected_frac"]), atol=1e-5)
+        np.testing.assert_allclose(float(ra["final_recovered_frac"]),
+                                   float(rb["final_recovered_frac"]), atol=1e-5)
+
+
 def test_infer_scenarios_json_and_validation(tmp_path):
     """--scenarios JSON file loads; misaligned inline arrays exit loudly."""
     import json

@@ -170,10 +170,49 @@ def test_resumed_short_tail_still_writes_final_checkpoint(random_graph, tmp_path
               epochs=6, batch_size=4, verbose=False,
               checkpoint_dir=ckpt, resume=True, checkpoint_auto_s=1e9)
     assert res.history[0][0] == 4
+    # round-4 layout: the serving snapshot rides every periodic checkpoint
     target = {"params": params, "opt_state": res.opt_state, "epoch": 0,
-              "best_val": 0.0, "best_epoch": 0, "test_loss": 0.0}
+              "best_val": 0.0, "best_epoch": 0, "test_loss": 0.0,
+              "best_params": params}
     st = restore_checkpoint(ckpt, target)
     assert int(st["epoch"]) == 5, "final checkpoint must be the completed run"
+
+
+def test_resume_with_ood_newly_enabled(random_graph, tmp_path):
+    """Resuming with track_test_per_trial=True from a checkpoint written
+    WITHOUT it (best_params present, test_loss_all absent — e.g. a run
+    restarted with --out_of_dist newly enabled) must restore through the
+    best_params-alone rung of the layout ladder, not hard-fail (regression:
+    the ladder tried extras+best_params, extras, {} but never best_params
+    alone, so every attempt structure-mismatched)."""
+    from gn_ode_sir_tpu.sim import sir_classical
+
+    g = random_graph
+    rng = np.random.default_rng(3)
+    N, T = 8, 8
+    seed_sets, betas, gammas, triples = [], [], [], []
+    for _ in range(N):
+        seeds = rng.choice(g.n_nodes, 2, replace=False)
+        b, gm = rng.uniform(0.1, 0.5), rng.uniform(0.1, 0.5)
+        i_t, s_t, r_t = sir_classical(g, seeds, b, gm, max_time=T)
+        seed_sets.append(list(seeds)); betas.append(b); gammas.append(gm)
+        triples.append((s_t, i_t, r_t))
+    data = build_trial_data(g.n_nodes, seed_sets, betas, gammas, triples)
+    tr, va, te = split_indices(N, (0.6, 0.2, 0.2))
+    model = GNODE(hidden=8, max_time=T)
+    adj = adjacency_from_graph(g)
+    opt = optax.adam(1e-2)
+    ckpt = str(tmp_path / "ck")
+
+    params = model.init(jax.random.PRNGKey(0))
+    fit(model, opt, params, data, tr, va, te, lambda gi: adj,
+        epochs=3, batch_size=4, verbose=False, checkpoint_dir=ckpt)
+    res = fit(model, opt, params, data, tr, va, te, lambda gi: adj,
+              epochs=5, batch_size=4, verbose=False,
+              checkpoint_dir=ckpt, resume=True, track_test_per_trial=True)
+    assert res.history[0][0] == 3
+    assert res.test_loss_all is not None
+    assert len(res.test_loss_all) == len(te)
 
 
 def test_csv_sink_schema(tmp_path):
