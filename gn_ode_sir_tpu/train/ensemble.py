@@ -107,6 +107,7 @@ def fit_ensemble(
     track_test_per_trial: bool = False,
     mesh=None,
     mesh_axis: str = "ensemble",
+    data_axis: str | None = None,
 ) -> EnsembleFitResult:
     """Train K members (one per entry of ``seeds``) in one compiled program.
 
@@ -121,7 +122,13 @@ def fit_ensemble(
 
     With ``mesh``, the member axis is sharded over ``mesh_axis`` (K must be a
     multiple of that axis size); everything else is replicated. Repeats never
-    communicate, so the partitioned step contains no collectives.
+    communicate, so the partitioned step contains no collectives. With
+    ``data_axis`` (a second mesh axis) the trial-leading data arrays
+    additionally shard their row axis over it — the 2-D (ensemble x data)
+    composition: member compute partitions over ``mesh_axis`` while the
+    trial store partitions over ``data_axis``, and XLA GSPMD inserts the
+    gather collectives that fetch each member's minibatch rows. Numerics
+    are unchanged (placement only).
     """
     K = len(seeds)
     lead = jax.tree_util.tree_leaves(params_stack)[0].shape[0]
@@ -243,7 +250,19 @@ def fit_ensemble(
         repl = _replicated(mesh)
         params_stack = jax.device_put(params_stack, member_s)
         opt_state = jax.device_put(opt_state, member_s)
-        d = jax.device_put(d, repl)
+        if data_axis is not None:
+            if data_axis not in mesh.axis_names:
+                raise ValueError(
+                    f"data_axis '{data_axis}' not in mesh axes "
+                    f"{mesh.axis_names}")
+            # 2-D (ensemble x data): trial rows shard over data_axis;
+            # connectivity aux stays replicated (every member needs the
+            # whole graph every step)
+            row_s = _member_sharding(mesh, data_axis)
+            d = {k: jax.device_put(v, repl if k == "__adj_aux__" else row_s)
+                 for k, v in d.items()}
+        else:
+            d = jax.device_put(d, repl)
 
     def _put_member(x):
         return jax.device_put(x, member_s) if mesh is not None else x

@@ -127,6 +127,44 @@ def test_fit_ensemble_sharded_matches_unsharded(random_graph):
                                    rtol=5e-3, atol=1e-4)
 
 
+def test_fit_ensemble_2d_ensemble_x_data_matches_unsharded(random_graph):
+    """2-D composition (round 5): members shard over 'ensemble' while the
+    trial store's row axis shards over 'data' — GSPMD inserts the gather
+    collectives; numerics must match the unsharded run."""
+    from jax.sharding import Mesh
+
+    g = random_graph
+    data, (tr, va, te), T = _dataset(g, N=10)
+    model = _model(T)
+    adj = adjacency_from_graph(g)
+    opt = optax.adam(1e-2)
+    seeds = list(range(4))
+    kw = dict(adj_aux={"adj": adj}, seeds=seeds, epochs=3, batch_size=4,
+              verbose=False)
+
+    stack = init_ensemble(model, seeds)
+    plain = fit_ensemble(model, opt, stack, data, tr, va, te,
+                         lambda gi, aux: aux["adj"], **kw)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("ensemble", "data"))
+    stack = init_ensemble(model, seeds)
+    shard = fit_ensemble(model, opt, stack, data, tr, va, te,
+                         lambda gi, aux: aux["adj"], mesh=mesh,
+                         data_axis="data", **kw)
+
+    np.testing.assert_allclose(shard.best_val_loss, plain.best_val_loss,
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(shard.test_loss, plain.test_loss,
+                               rtol=2e-5, atol=1e-7)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="data_axis"):
+        fit_ensemble(model, opt, init_ensemble(model, seeds), data, tr, va,
+                     te, lambda gi, aux: aux["adj"], mesh=mesh,
+                     data_axis="nope", **kw)
+
+
 def test_fit_ensemble_resume_reproduces_trace(random_graph, tmp_path):
     """Crash + resume at the ensemble level reproduces the uninterrupted
     run exactly (same contract as fit()'s resume test)."""
