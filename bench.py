@@ -386,6 +386,141 @@ def measure_mg_epoch(repeats: int = 3, dataset: str | None = None,
     return best, int(bi.shape[0]), conn.kind
 
 
+def measure_ensemble_epoch_speedup(graph, K: int = 4, hidden: int = 8,
+                                   repeats: int = 3):
+    """Per-epoch speedup of folding the K-repeat protocol into ONE vmapped
+    program (train/ensemble.py) vs K sequential whole-epoch programs, at
+    the protocol's dispatch-bound config (hidden=8, batch_size=1, 120
+    steps — ``monitorer-sim.py`` hidden_dim_array=[8,8,8,8]). Compile time
+    is excluded on both sides (the persistent executable cache amortizes
+    it across protocol runs), so this is the steady-state epoch economics
+    behind the 2.37x protocol wall win (RESULTS.md round 4c). Returns
+    ``(speedup, seq_epoch_s, ens_epoch_s)`` where
+    ``speedup = K * seq_epoch_s / ens_epoch_s``.
+    """
+    import jax
+    import optax
+
+    from gn_ode_sir_tpu.models import GNODE
+    from gn_ode_sir_tpu.models.gnode import solver_policy
+    from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
+    from gn_ode_sir_tpu.train import TrialData, init_ensemble
+    from gn_ode_sir_tpu.train.loop import (
+        _data_to_device,
+        make_train_epoch_fn,
+        train_epoch_body,
+    )
+
+    n = graph.n_nodes
+    rng = np.random.default_rng(0)
+    n_distinct = 8  # timing is per-row gather; distinct-trial count is free
+    i0 = np.zeros((n_distinct, n), np.float32)
+    for k in range(n_distinct):
+        i0[k, rng.choice(n, 2, replace=False)] = 1.0
+    labels = rng.random((n_distinct, MAX_TIME, n, 3)).astype(np.float32)
+    labels /= labels.sum(-1, keepdims=True)
+    data = TrialData(
+        s0=1.0 - i0, i0=i0, r0=np.zeros_like(i0),
+        beta=rng.uniform(0.1, 0.5, n_distinct).astype(np.float32),
+        gamma=rng.uniform(0.1, 0.5, n_distinct).astype(np.float32),
+        labels=labels, graph_idx=np.zeros(n_distinct, np.int32),
+    )
+    adjoint, unroll = solver_policy(n, hidden, BATCH, MAX_TIME, DELTA_T)
+    model = GNODE(hidden=hidden, max_time=MAX_TIME, delta_t=DELTA_T,
+                  adjoint=adjoint, solver_unroll=unroll)
+    optimizer = optax.adam(1e-4)
+    adj = adjacency_from_graph(graph)
+    d = _data_to_device(data)
+    d["__adj_aux__"] = {"adj": adj}
+    adj_fn = lambda gi, aux: aux["adj"]
+
+    bi = (np.arange(TRAIN_STEPS_PER_EPOCH, dtype=np.int32) % n_distinct)[:, None]
+    bw = np.ones((TRAIN_STEPS_PER_EPOCH, BATCH), np.float32)
+
+    def _best(run):
+        run()  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # sequential: the same compiled epoch a worker repeat dispatches
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    seq_epoch = make_train_epoch_fn(model, optimizer, adj_fn)
+    key = jax.random.PRNGKey(1)
+
+    def run_seq():
+        p, _, loss = seq_epoch(params, opt_state, d, bi, bw, key)
+        return float(np.asarray(loss)) + float(
+            np.asarray(jax.tree_util.tree_leaves(p)[0]).sum())
+
+    seq_s = _best(run_seq)
+
+    # ensemble: K members' epochs as one vmapped program (the routing
+    # fit_ensemble takes for non-plan-stacked connectivity)
+    stack = init_ensemble(model, list(range(K)))
+    opt_stack = jax.vmap(optimizer.init)(stack)
+    _tr = train_epoch_body(model, optimizer, adj_fn)
+    ens_epoch = jax.jit(jax.vmap(_tr, in_axes=(0, 0, None, 0, 0, 0)))
+    bik = np.broadcast_to(bi, (K, *bi.shape))
+    bwk = np.broadcast_to(bw, (K, *bw.shape))
+    keys = jax.random.split(jax.random.PRNGKey(2), K)
+
+    def run_ens():
+        p, _, loss = ens_epoch(stack, opt_stack, d, bik, bwk, keys)
+        return float(np.asarray(loss).sum()) + float(
+            np.asarray(jax.tree_util.tree_leaves(p)[0]).sum())
+
+    ens_s = _best(run_ens)
+    return K * seq_s / ens_s, seq_s, ens_s
+
+
+SERVE_CKPT = os.path.join(
+    ROOT, "results", "ngraphs_r3",
+    "ckpt-trial1-ode_nn-mg-dolphins-fb-food-fb-social-openflights-wiki-vote")
+
+
+def measure_serving_summary(batch: int = 8, repeats: int = 3,
+                            graph_name: str = "enron"):
+    """Summary-only serving throughput on the COMMITTED transfer checkpoint
+    (wv-unseen protocol run, hidden=8) scoring enron — the production fast
+    path ``cli/infer.py --summary_only``: one jitted dispatch, device-side
+    reduction, [B, 3] readback. Returns ``(scenarios_per_sec, best_wall_s,
+    first_call_s)``; the first call pays compile (persistent cache
+    applies), warm walls are best-of-``repeats``.
+    """
+    from gn_ode_sir_tpu.cli import infer
+    from gn_ode_sir_tpu.cli.worker import build_model_and_adj
+    from gn_ode_sir_tpu.graphs import load_graph
+
+    g = load_graph(os.path.join(GRAPHS, graph_name))
+    iargs = infer.build_parser().parse_args([
+        "--ckpt", SERVE_CKPT, "--dataset", os.path.join(GRAPHS, graph_name),
+        "--model", "ode_nn", "--hidden", "8", "--I_indices", "x",
+    ])
+    model, adj = build_model_and_adj(iargs, g, batch_size=batch)
+    params = infer.restore_params(SERVE_CKPT)
+    rng = np.random.RandomState(0)
+    seeds = [sorted(rng.choice(g.n_nodes, 2, replace=False).tolist())
+             for _ in range(batch)]
+    beta = rng.uniform(0.1, 0.5, batch).astype(np.float32)
+    gamma = rng.uniform(0.1, 0.5, batch).astype(np.float32)
+    s0, i0, r0, beta, gamma = infer.scenario_batch(g.n_nodes, seeds, beta, gamma)
+
+    t0 = time.perf_counter()
+    infer.predict_summaries(model, params, adj, s0, i0, r0, beta, gamma)
+    first = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        infer.predict_summaries(model, params, adj, s0, i0, r0, beta, gamma)
+        best = min(best, time.perf_counter() - t0)
+    return batch / best, best, first
+
+
 def _phase(msg: str) -> None:
     """Heartbeat to stderr (stdout stays the one JSON line). The retry
     wrapper's no-output watchdog keys off these: without them the child is
@@ -466,6 +601,32 @@ def main():
             print(f"mg-epoch metric skipped: {e!r}", file=sys.stderr,
                   flush=True)
 
+    # best-effort (GN_BENCH_ENS=0 skips): per-epoch speedup of the vmapped
+    # K=4 repeat protocol at hidden=8 — round 4c's ensemble claim, made
+    # driver-capturable.
+    ens_speedup = ens_seq_s = ens_ens_s = None
+    if os.environ.get("GN_BENCH_ENS", "1").strip().lower() not in (
+            "0", "false", "off", "no"):
+        try:
+            _phase("measuring ensemble epoch speedup (wiki-vote, h=8, K=4)")
+            ens_speedup, ens_seq_s, ens_ens_s = \
+                measure_ensemble_epoch_speedup(wiki)
+        except Exception as e:  # noqa: BLE001 — extra metric is best-effort
+            print(f"ensemble metric skipped: {e!r}", file=sys.stderr,
+                  flush=True)
+
+    # best-effort (GN_BENCH_SERVE=0 skips): summary-only serving throughput
+    # on the committed transfer checkpoint (round 4d surface).
+    serve_sps = serve_best_s = serve_first_s = None
+    if os.environ.get("GN_BENCH_SERVE", "1").strip().lower() not in (
+            "0", "false", "off", "no"):
+        try:
+            _phase("measuring summary-only serving (enron, committed ckpt)")
+            serve_sps, serve_best_s, serve_first_s = measure_serving_summary()
+        except Exception as e:  # noqa: BLE001 — extra metric is best-effort
+            print(f"serving metric skipped: {e!r}", file=sys.stderr,
+                  flush=True)
+
     # absolute utilization vs the v5e roofline (modeled FLOPs/bytes from
     # shapes; both bounds reported — see utils/roofline.py)
     from gn_ode_sir_tpu.utils.roofline import (
@@ -529,6 +690,23 @@ def main():
             "r3_epoch_s": R3_MG_EPOCH_S,
             "vs_r3": R3_MG_EPOCH_S / mg_epoch_s,
         }
+    if ens_speedup is not None:
+        details["ensemble_epoch_speedup_wikivote"] = {
+            "K": 4, "hidden": 8, "batch_size": BATCH,
+            "steps_per_epoch": TRAIN_STEPS_PER_EPOCH,
+            "seq_epoch_s": ens_seq_s, "ensemble_epoch_s": ens_ens_s,
+            # K * seq / ens: walltime ratio of K sequential epochs vs the
+            # one vmapped K-member epoch (steady state, compiles excluded)
+            "speedup": ens_speedup,
+        }
+    if serve_sps is not None:
+        details["serving_summary_only_enron"] = {
+            "ckpt": os.path.relpath(SERVE_CKPT, ROOT),
+            "batch": 8, "hidden": 8,
+            "first_call_s": serve_first_s,
+            "best_wall_s": serve_best_s,
+            "scenarios_per_sec": serve_sps,
+        }
     try:
         import jax
 
@@ -568,7 +746,21 @@ def main():
             # hours/epoch on enron); ratio vs OUR round-3 shipped epoch
             "vs_baseline": None,
             "vs_r3": round(R3_MG_EPOCH_S / mg_epoch_s, 2),
-        }] if mg_epoch_s is not None else []),
+        }] if mg_epoch_s is not None else []) + ([{
+            "metric": "ensemble_epoch_speedup_wikivote_h8_k4",
+            "value": round(ens_speedup, 2),
+            "unit": "x",
+            # within-framework ratio (K sequential epochs / one vmapped
+            # K-member epoch); no reference analogue — the reference runs
+            # repeats as separate processes
+            "vs_baseline": None,
+        }] if ens_speedup is not None else []) + ([{
+            "metric": "serving_summary_scenarios_per_sec_enron",
+            "value": round(serve_sps, 2),
+            "unit": "scenarios/s",
+            # no reference analogue: the reference has no serving path
+            "vs_baseline": None,
+        }] if serve_sps is not None else []),
     }))
 
 
