@@ -91,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the last scenario; padding rows are sliced off "
                         "the output). Composes with --summary_only: each "
                         "device reduces its own shard")
+    p.add_argument("--dispatch_batch", type=int, default=None,
+                   help="with --summary_only: cap scenarios per device "
+                        "dispatch (large-graph HBM ceiling — enron costs "
+                        "~132 MB activations/scenario); chunks reuse one "
+                        "compiled executable, tail chunk padded+sliced")
     p.add_argument("--summary_only", action="store_true",
                    help="reduce trajectories to per-scenario summaries ON "
                         "DEVICE and skip the .npz — at large-graph scale "
@@ -267,8 +272,21 @@ def _summary_jit(model):
     return jax.jit(fn)
 
 
+def _summary_array(model, params, adj, s0, i0, r0, beta, gamma, *, spmd):
+    """[B, 3] summary rows, one dispatch (sharded when ``spmd``)."""
+    import jax
+    import jax.numpy as jnp
+
+    if spmd and jax.device_count() > 1:
+        return _spmd_dispatch(model, params, adj, s0, i0, r0, beta, gamma,
+                              summary=True)
+    return np.asarray(_summary_jit(model)(
+        params, adj, jnp.asarray(s0), jnp.asarray(i0), jnp.asarray(r0),
+        jnp.asarray(beta), jnp.asarray(gamma)))
+
+
 def predict_summaries(model, params, adj, s0, i0, r0, beta, gamma, *,
-                      spmd=False):
+                      spmd=False, dispatch_batch=None):
     """Summary-only serving: the [T, B, n, 3] trajectory is reduced ON
     DEVICE to per-scenario scalars (peak infected fraction/time, final
     recovered fraction), so the host readback is [B, 3] instead of the
@@ -277,18 +295,32 @@ def predict_summaries(model, params, adj, s0, i0, r0, beta, gamma, *,
     vs ~1.9 s with the few-float readback; runs_r4/probe_serving.json).
     With ``spmd`` the scenario batch additionally shards over all local
     devices and each device reduces its own shard (no collective — the
-    reduction is per-scenario). Returns the same rows as :func:`summarize`.
-    """
-    import jax
-    import jax.numpy as jnp
+    reduction is per-scenario).
 
-    if spmd and jax.device_count() > 1:
-        out = _spmd_dispatch(model, params, adj, s0, i0, r0, beta, gamma,
-                             summary=True)
+    ``dispatch_batch`` caps scenarios per device dispatch: the forward
+    trajectory costs ~T*B*n*3*h*4 bytes of activations, so one big batch
+    OOMs HBM at large-graph scale (enron: ~132 MB/scenario) — chunking
+    runs ceil(B/dispatch_batch) dispatches that all reuse ONE compiled
+    executable (the tail chunk is padded by repeating its last scenario
+    and sliced back off). Summaries are per-scenario, so chunking is
+    exact. Returns the same rows as :func:`summarize`.
+    """
+    b = s0.shape[0]
+    if dispatch_batch and b > dispatch_batch:
+        outs = []
+        for lo in range(0, b, dispatch_batch):
+            hi = min(lo + dispatch_batch, b)
+            chunk = [a[lo:hi] for a in (s0, i0, r0, beta, gamma)]
+            pad = dispatch_batch - (hi - lo)
+            if pad:
+                chunk = [np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+                         for a in chunk]
+            outs.append(_summary_array(model, params, adj, *chunk,
+                                       spmd=spmd)[: hi - lo])
+        out = np.concatenate(outs, 0)
     else:
-        out = np.asarray(_summary_jit(model)(
-            params, adj, jnp.asarray(s0), jnp.asarray(i0), jnp.asarray(r0),
-            jnp.asarray(beta), jnp.asarray(gamma)))
+        out = _summary_array(model, params, adj, s0, i0, r0, beta, gamma,
+                             spmd=spmd)
     return [{"scenario": j, "peak_infected_frac": float(out[j, 0]),
              "peak_time": int(out[j, 1]),
              "final_recovered_frac": float(out[j, 2])}
@@ -337,7 +369,8 @@ def main(argv=None) -> int:
     s0, i0, r0, beta, gamma = scenario_batch(g.n_nodes, seeds, beta, gamma)
     if args.summary_only:
         rows = predict_summaries(model, params, adj, s0, i0, r0, beta, gamma,
-                                 spmd=args.spmd)
+                                 spmd=args.spmd,
+                                 dispatch_batch=args.dispatch_batch)
     else:
         out = predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma,
                                 spmd=args.spmd)  # [T, B, n, 3]

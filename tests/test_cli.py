@@ -662,6 +662,42 @@ def test_infer_cli_spmd_summary_only_matches_single_device(tmp_path):
                                    float(rb["final_recovered_frac"]), atol=1e-5)
 
 
+def test_infer_summary_dispatch_batch_chunking_exact(tmp_path):
+    """--dispatch_batch chunks the scenario sweep into fixed-size dispatches
+    (uneven tail padded + sliced); rows must equal the single-dispatch
+    path — summaries are per-scenario, so chunking is exact."""
+    import jax
+
+    from gn_ode_sir_tpu.cli import infer
+    from gn_ode_sir_tpu.graphs import load_graph
+
+    rc = worker.main(_base_argv(tmp_path, "ode_nn", extra=["--save_checkpoint"]))
+    assert rc == 0
+    ckpt = tmp_path / "ckpt-trial1-ode_nn"
+    g = load_graph(KARATE)
+    args = infer.build_parser().parse_args([
+        "--ckpt", str(ckpt), "--dataset", KARATE, "--hidden", "8",
+        "--maxTime", "8", "--I_indices", "x"])
+    model, adj = worker.build_model_and_adj(args, g, batch_size=10)
+    params = infer.restore_params(str(ckpt))
+    rng = np.random.default_rng(0)
+    seeds = [sorted(rng.choice(g.n_nodes, 2, replace=False).tolist())
+             for _ in range(10)]
+    sb = infer.scenario_batch(g.n_nodes, seeds,
+                              rng.uniform(0.1, 0.5, 10),
+                              rng.uniform(0.1, 0.5, 10))
+    whole = infer.predict_summaries(model, params, adj, *sb)
+    chunked = infer.predict_summaries(model, params, adj, *sb,
+                                      dispatch_batch=4)  # 4+4+2 (padded tail)
+    assert len(whole) == len(chunked) == 10
+    for a, b in zip(whole, chunked):
+        assert a["peak_time"] == b["peak_time"]
+        np.testing.assert_allclose(a["peak_infected_frac"],
+                                   b["peak_infected_frac"], atol=1e-6)
+        np.testing.assert_allclose(a["final_recovered_frac"],
+                                   b["final_recovered_frac"], atol=1e-6)
+
+
 def test_infer_scenarios_json_and_validation(tmp_path):
     """--scenarios JSON file loads; misaligned inline arrays exit loudly."""
     import json
