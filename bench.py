@@ -276,10 +276,20 @@ def measure_ours_train_epoch(graph, repeats: int = 3):
     return best
 
 
-def measure_spmm_apply(graph, hidden: int = 64, chain: int = 50, repeats: int = 3):
+def measure_spmm_apply(graph, hidden: int = 64, chain: int = 800, repeats: int = 3):
     """Per-apply time of the large-graph SpMM backend (pallas2 on TPU): one
     jitted program scanning ``chain`` chained applies so tunnel dispatch
-    noise cancels (same protocol as scripts/bench_spmm.py)."""
+    noise cancels.
+
+    Protocol note (round 5): chain was 50 through round 4, which left the
+    metric overhead-dominated: per-apply device cost is <1 ms, while one
+    dispatch+readback through the tunnel costs 5–200 ms depending on
+    session health — so chain=50 measured mostly the tunnel (the round-4
+    "drift" 1.887→4.07 ms, RESULTS.md §5a; same-session A/B: chain 50 →
+    5.29 ms/apply, chain 800 → 0.91 ms/apply,
+    `runs_r5/spmm_chain_ab.log`). chain=800 puts ~0.7 s
+    of device work behind one dispatch, so the reading is the kernel, not
+    the session. Values from rounds ≤4 are not comparable.
     import jax
     import jax.numpy as jnp
 
