@@ -203,6 +203,32 @@ def test_fit_ensemble_resume_reproduces_trace(random_graph, tmp_path):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_fit_ensemble_resume_with_ood_newly_enabled(random_graph, tmp_path):
+    """Resuming an ensemble with track_test_per_trial=True from a
+    checkpoint written WITHOUT it must restore through the
+    best_params-alone rung of the layout ladder (same regression as
+    fit()'s: the ladder lacked that combination and resume hard-failed)."""
+    g = random_graph
+    data, (tr, va, te), T = _dataset(g, N=10)
+    model = _model(T)
+    adj = adjacency_from_graph(g)
+    opt = optax.adam(1e-2)
+    seeds = [1, 2]
+    ck = str(tmp_path / "ens")
+    fit_ensemble(model, opt, init_ensemble(model, seeds), data, tr, va, te,
+                 lambda gi, aux: aux["adj"], adj_aux={"adj": adj},
+                 seeds=seeds, batch_size=4, verbose=False,
+                 epochs=3, checkpoint_dir=ck, checkpoint_every=1)
+    res = fit_ensemble(model, opt, init_ensemble(model, seeds), data,
+                       tr, va, te, lambda gi, aux: aux["adj"],
+                       adj_aux={"adj": adj}, seeds=seeds, batch_size=4,
+                       verbose=False, epochs=5, checkpoint_dir=ck,
+                       resume=True, track_test_per_trial=True)
+    assert res.history[0][0] == 3
+    assert res.test_loss_all is not None
+    assert res.test_loss_all.shape == (2, len(te))
+
+
 @pytest.mark.parametrize("scan", ["0", "1"])
 def test_fit_ensemble_per_trial_tracking(random_graph, scan, monkeypatch):
     """``track_test_per_trial`` keeps each member's [n_test] loss vector (the
