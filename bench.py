@@ -1,8 +1,11 @@
 """Benchmark entry point — prints ONE JSON line for the round driver.
 
-Headline metric (BASELINE.json): Monte-Carlo SIR label-extraction throughput,
-10,000 simulations on openflights (2,905 nodes / 31,290 directed edges),
-the reference's ``sir_torch`` path (``ode_nn.py:30-88``).
+Headline metric (BASELINE.json): Monte-Carlo SIR label-extraction throughput
+on openflights (2,905 nodes / 31,290 directed edges), the reference's
+``sir_torch`` path (``ode_nn.py:30-88``). Measured at 80,000
+simulations/dispatch since round 5 (10k left the reading ~half tunnel
+round-trip — see ``measure_ours``); the proxy baseline is per-sim, so
+``vs_baseline`` is protocol-independent.
 
 Second first-class metric (BASELINE.md north-star (a)): GN-ODE training
 epoch time on wiki-vote at the reference defaults (200 trials -> 120 train
@@ -637,11 +640,13 @@ def main():
     # best-effort (GN_BENCH_SERVE=0 skips): summary-only serving throughput
     # on the committed transfer checkpoint (round 4d surface).
     serve_sps = serve_best_s = serve_first_s = None
+    serve_batch, serve_graph = 8, "enron"
     if os.environ.get("GN_BENCH_SERVE", "1").strip().lower() not in (
             "0", "false", "off", "no"):
         try:
             _phase("measuring summary-only serving (enron, committed ckpt)")
-            serve_sps, serve_best_s, serve_first_s = measure_serving_summary()
+            serve_sps, serve_best_s, serve_first_s = measure_serving_summary(
+                batch=serve_batch, graph_name=serve_graph)
         except Exception as e:  # noqa: BLE001 — extra metric is best-effort
             print(f"serving metric skipped: {e!r}", file=sys.stderr,
                   flush=True)
@@ -721,7 +726,7 @@ def main():
     if serve_sps is not None:
         details["serving_summary_only_enron"] = {
             "ckpt": os.path.relpath(SERVE_CKPT, ROOT),
-            "batch": 8, "hidden": 8,
+            "batch": serve_batch, "hidden": 8, "graph": serve_graph,
             "first_call_s": serve_first_s,
             "best_wall_s": serve_best_s,
             "scenarios_per_sec": serve_sps,

@@ -92,10 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the output). Composes with --summary_only: each "
                         "device reduces its own shard")
     p.add_argument("--dispatch_batch", type=int, default=None,
-                   help="with --summary_only: cap scenarios per device "
-                        "dispatch (large-graph HBM ceiling — enron costs "
-                        "~132 MB activations/scenario); chunks reuse one "
-                        "compiled executable, tail chunk padded+sliced")
+                   help="cap scenarios per device dispatch (large-graph "
+                        "HBM ceiling — enron costs ~132 MB activations/"
+                        "scenario); chunks reuse one compiled executable, "
+                        "tail chunk padded+sliced")
     p.add_argument("--summary_only", action="store_true",
                    help="reduce trajectories to per-scenario summaries ON "
                         "DEVICE and skip the .npz — at large-graph scale "
@@ -240,11 +240,31 @@ def _spmd_dispatch(model, params, adj, s0, i0, r0, beta, gamma, *,
     return out[:b] if summary else out[:, :b]
 
 
-def predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma, *, spmd=False):
-    """[T, B, n, 3] probabilities; one jitted dispatch (optionally SPMD)."""
+def predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma, *,
+                      spmd=False, dispatch_batch=None):
+    """[T, B, n, 3] probabilities; one jitted dispatch (optionally SPMD).
+
+    ``dispatch_batch`` caps scenarios per device dispatch, as in
+    :func:`predict_summaries` — it bounds device activation memory and
+    per-dispatch wall (a >1 min single execution dies through a tunneled
+    device); the full trajectories still accumulate on the HOST, which is
+    the caller's choice by using the full-trajectory path."""
     import jax
     import jax.numpy as jnp
 
+    b = s0.shape[0]
+    if dispatch_batch and b > dispatch_batch:
+        outs = []
+        for lo in range(0, b, dispatch_batch):
+            hi = min(lo + dispatch_batch, b)
+            chunk = [a[lo:hi] for a in (s0, i0, r0, beta, gamma)]
+            pad = dispatch_batch - (hi - lo)
+            if pad:
+                chunk = [np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+                         for a in chunk]
+            outs.append(predict_scenarios(
+                model, params, adj, *chunk, spmd=spmd)[:, : hi - lo])
+        return np.concatenate(outs, axis=1)
     if spmd and jax.device_count() > 1:
         return _spmd_dispatch(model, params, adj, s0, i0, r0, beta, gamma,
                               summary=False)
@@ -363,6 +383,8 @@ def main(argv=None) -> int:
             raise SystemExit(
                 f"scenario {j}: seed nodes {bad} out of range for "
                 f"{g.name} (n_nodes={g.n_nodes})")
+    if args.dispatch_batch is not None and args.dispatch_batch < 1:
+        raise SystemExit("--dispatch_batch must be a positive integer")
     model, adj = build_model_and_adj(args, g, batch_size=len(seeds))
     params = restore_params(args.ckpt)
     check_params_match(model, params)
@@ -373,7 +395,8 @@ def main(argv=None) -> int:
                                  dispatch_batch=args.dispatch_batch)
     else:
         out = predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma,
-                                spmd=args.spmd)  # [T, B, n, 3]
+                                spmd=args.spmd,
+                                dispatch_batch=args.dispatch_batch)  # [T, B, n, 3]
         probs = np.transpose(out, (1, 0, 2, 3))  # [B, T, n, 3]
         np.savez(
             args.out,

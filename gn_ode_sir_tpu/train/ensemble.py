@@ -333,8 +333,8 @@ def fit_ensemble(
             # extras alone, neither
             attempts = [{**extras, "best_params": params_stack}]
             if extras:
-                attempts.append({"best_params": params_stack})
-            attempts += [extras, {}]
+                attempts += [{"best_params": params_stack}, extras]
+            attempts.append({})
             for extra in attempts:
                 try:
                     st = restore_checkpoint(checkpoint_dir, {**target, **extra})

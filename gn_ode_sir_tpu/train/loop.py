@@ -351,8 +351,8 @@ def fit(
             # (pre-round-4 OOD), neither (oldest)
             attempts = [{**extras, "best_params": params}]
             if extras:
-                attempts.append({"best_params": params})
-            attempts += [extras, {}]
+                attempts += [{"best_params": params}, extras]
+            attempts.append({})
             for extra in attempts:
                 try:
                     st = restore_checkpoint(checkpoint_dir, {**target, **extra})

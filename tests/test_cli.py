@@ -697,6 +697,22 @@ def test_infer_summary_dispatch_batch_chunking_exact(tmp_path):
         np.testing.assert_allclose(a["final_recovered_frac"],
                                    b["final_recovered_frac"], atol=1e-6)
 
+    # the full-trajectory path honors the same cap (chunks concatenate on
+    # the batch axis)
+    full = infer.predict_scenarios(model, params, adj, *sb)
+    full_chunked = infer.predict_scenarios(model, params, adj, *sb,
+                                           dispatch_batch=4)
+    np.testing.assert_allclose(full, full_chunked, atol=1e-6)
+
+    # a non-positive cap exits loudly through the CLI
+    import pytest
+
+    with pytest.raises(SystemExit, match="dispatch_batch"):
+        infer.main([
+            "--ckpt", str(ckpt), "--dataset", KARATE, "--hidden", "8",
+            "--maxTime", "8", "--I_indices", "[2, 5]",
+            "--summary_only", "--dispatch_batch", "-1"])
+
 
 def test_infer_scenarios_json_and_validation(tmp_path):
     """--scenarios JSON file loads; misaligned inline arrays exit loudly."""
