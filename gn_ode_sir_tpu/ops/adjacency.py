@@ -126,8 +126,13 @@ def adjacency_from_graph(graph, *, prefer_dense: bool | None = None, dtype=None,
     if kind in ("pallas2", "pallas2-bf16"):
         from gn_ode_sir_tpu.ops.pallas_spmm2 import Pallas2Adj
 
+        # chunk geometry: k=2048 measured 13-15% faster per apply than the
+        # round-2 k=1024 default on both wiki-vote (0.54 vs 0.62 ms) and
+        # enron (1.79 vs 2.02 ms) — fewer sequential grid steps; r_rows
+        # 256 vs 512 is within session noise (round-5 sweep,
+        # runs_r5/probe_spmm_geometry.json)
         return Pallas2Adj.from_graph(
-            graph, k_edges=1024, r_rows=256,
+            graph, k_edges=2048, r_rows=256,
             precision="bf16" if kind.endswith("bf16") else "f32",
         )
     raise ValueError(f"unknown adjacency kind {kind!r}")
