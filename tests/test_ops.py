@@ -275,3 +275,21 @@ def test_pallas2_unaligned_h_padding(random_graph):
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(coo.matvec(x)), rtol=1e-4, atol=1e-4
         )
+
+
+def test_pallas2_default_geometry_pinned():
+    """adjacency_from_graph builds pallas2 at the measured-optimal chunk
+    geometry (k=2048 — 13-15% faster per apply than k=1024 on wiki-vote
+    AND enron, runs_r5/probe_spmm_geometry.json); a silent default change
+    regresses the large-graph SpMM path."""
+    import numpy as np
+
+    from gn_ode_sir_tpu.graphs.graph import graph_from_edges
+    from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
+
+    rng = np.random.default_rng(0)
+    edges = [(int(u), int(v)) for u, v in rng.integers(0, 64, (300, 2))
+             if u != v]
+    g = graph_from_edges(64, edges, name="geom")
+    adj = adjacency_from_graph(g, kind="pallas2")
+    assert adj.k_edges == 2048 and adj.r_rows == 256
