@@ -640,7 +640,9 @@ def main():
     # best-effort (GN_BENCH_SERVE=0 skips): summary-only serving throughput
     # on the committed transfer checkpoint (round 4d surface).
     serve_sps = serve_best_s = serve_first_s = None
-    serve_batch, serve_graph = 8, "enron"
+    # batch 64 = the measured dispatch-amortization knee (RESULTS.md §5b);
+    # larger sweeps chunk to 64-wide dispatches at the same throughput
+    serve_batch, serve_graph = 64, "enron"
     if os.environ.get("GN_BENCH_SERVE", "1").strip().lower() not in (
             "0", "false", "off", "no"):
         try:
