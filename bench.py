@@ -226,18 +226,19 @@ def measure_ours(graph, repeats: int = 8):
     return SIMS / best, best
 
 
-def measure_ours_train_epoch(graph, repeats: int = 3):
-    """Whole-epoch GN-ODE training time at reference defaults (120 steps,
-    batch 1, hidden 64) — one compiled ``lax.scan`` program, timed with a
-    host readback (block_until_ready lies through the axon tunnel)."""
+def _bench_trial_setup(graph, hidden: int):
+    """Shared workload builder for the train-epoch and ensemble metrics:
+    the reference protocol's epoch shapes (120 steps, batch 1) over 8
+    distinct synthetic trials — timing depends only on shapes. Returns
+    ``(model, optimizer, d, adj_fn, bi, bw)``."""
     import jax
-    import jax.numpy as jnp
     import optax
 
     from gn_ode_sir_tpu.models import GNODE
+    from gn_ode_sir_tpu.models.gnode import solver_policy
     from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
     from gn_ode_sir_tpu.train import TrialData
-    from gn_ode_sir_tpu.train.loop import _data_to_device, make_train_epoch_fn
+    from gn_ode_sir_tpu.train.loop import _data_to_device
 
     n = graph.n_nodes
     rng = np.random.default_rng(0)
@@ -254,21 +255,29 @@ def measure_ours_train_epoch(graph, repeats: int = 3):
         labels=labels,
         graph_idx=np.zeros(n_distinct, np.int32),
     )
-    from gn_ode_sir_tpu.models.gnode import solver_policy
-
-    adjoint, unroll = solver_policy(n, HIDDEN, BATCH, MAX_TIME, DELTA_T)
-    model = GNODE(hidden=HIDDEN, max_time=MAX_TIME, delta_t=DELTA_T,
+    adjoint, unroll = solver_policy(n, hidden, BATCH, MAX_TIME, DELTA_T)
+    model = GNODE(hidden=hidden, max_time=MAX_TIME, delta_t=DELTA_T,
                   adjoint=adjoint, solver_unroll=unroll)
     optimizer = optax.adam(1e-4)
-    params = model.init(jax.random.PRNGKey(0))
-    opt_state = optimizer.init(params)
-    adj = adjacency_from_graph(graph)
     d = _data_to_device(data)
-    d["__adj_aux__"] = {"adj": adj}
-    train_epoch = make_train_epoch_fn(model, optimizer, lambda gi, aux: aux["adj"])
-
+    d["__adj_aux__"] = {"adj": adjacency_from_graph(graph)}
     bi = (np.arange(TRAIN_STEPS_PER_EPOCH, dtype=np.int32) % n_distinct)[:, None]
     bw = np.ones((TRAIN_STEPS_PER_EPOCH, BATCH), np.float32)
+    return model, optimizer, d, (lambda gi, aux: aux["adj"]), bi, bw
+
+
+def measure_ours_train_epoch(graph, repeats: int = 3):
+    """Whole-epoch GN-ODE training time at reference defaults (120 steps,
+    batch 1, hidden 64) — one compiled ``lax.scan`` program, timed with a
+    host readback (block_until_ready lies through the axon tunnel)."""
+    import jax
+
+    from gn_ode_sir_tpu.train.loop import make_train_epoch_fn
+
+    model, optimizer, d, adj_fn, bi, bw = _bench_trial_setup(graph, HIDDEN)
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    train_epoch = make_train_epoch_fn(model, optimizer, adj_fn)
     key = jax.random.PRNGKey(1)
 
     def run():
@@ -421,43 +430,11 @@ def measure_ensemble_epoch_speedup(graph, K: int = 4, hidden: int = 8,
     ``speedup = K * seq_epoch_s / ens_epoch_s``.
     """
     import jax
-    import optax
 
-    from gn_ode_sir_tpu.models import GNODE
-    from gn_ode_sir_tpu.models.gnode import solver_policy
-    from gn_ode_sir_tpu.ops.adjacency import adjacency_from_graph
-    from gn_ode_sir_tpu.train import TrialData, init_ensemble
-    from gn_ode_sir_tpu.train.loop import (
-        _data_to_device,
-        make_train_epoch_fn,
-        train_epoch_body,
-    )
+    from gn_ode_sir_tpu.train import init_ensemble
+    from gn_ode_sir_tpu.train.loop import make_train_epoch_fn, train_epoch_body
 
-    n = graph.n_nodes
-    rng = np.random.default_rng(0)
-    n_distinct = 8  # timing is per-row gather; distinct-trial count is free
-    i0 = np.zeros((n_distinct, n), np.float32)
-    for k in range(n_distinct):
-        i0[k, rng.choice(n, 2, replace=False)] = 1.0
-    labels = rng.random((n_distinct, MAX_TIME, n, 3)).astype(np.float32)
-    labels /= labels.sum(-1, keepdims=True)
-    data = TrialData(
-        s0=1.0 - i0, i0=i0, r0=np.zeros_like(i0),
-        beta=rng.uniform(0.1, 0.5, n_distinct).astype(np.float32),
-        gamma=rng.uniform(0.1, 0.5, n_distinct).astype(np.float32),
-        labels=labels, graph_idx=np.zeros(n_distinct, np.int32),
-    )
-    adjoint, unroll = solver_policy(n, hidden, BATCH, MAX_TIME, DELTA_T)
-    model = GNODE(hidden=hidden, max_time=MAX_TIME, delta_t=DELTA_T,
-                  adjoint=adjoint, solver_unroll=unroll)
-    optimizer = optax.adam(1e-4)
-    adj = adjacency_from_graph(graph)
-    d = _data_to_device(data)
-    d["__adj_aux__"] = {"adj": adj}
-    adj_fn = lambda gi, aux: aux["adj"]
-
-    bi = (np.arange(TRAIN_STEPS_PER_EPOCH, dtype=np.int32) % n_distinct)[:, None]
-    bw = np.ones((TRAIN_STEPS_PER_EPOCH, BATCH), np.float32)
+    model, optimizer, d, adj_fn, bi, bw = _bench_trial_setup(graph, hidden)
 
     def _best(run):
         run()  # compile + warm

@@ -185,16 +185,27 @@ def scenario_batch(n_nodes: int, seeds, beta, gamma):
 _SPMD_CACHE: dict = {}
 
 
-def _summary_reduce(probs):
+def _summary_reduce(probs, mask=None):
     """Per-scenario epidemic summary [T, B, n, 3] -> [B, 3]: peak infected
     fraction, peak time, final recovered fraction (the device-side twin of
-    :func:`summarize`). Per-scenario, so it shards without a collective."""
+    :func:`summarize`). Per-scenario, so it shards without a collective.
+
+    ``mask`` ([B, n], 1 on real nodes) makes the node means fraction-exact
+    on padded multigraph batches: without it a graph padded from n_g to
+    n_max reads fractions scaled by n_g/n_max (zeroed padding rows would
+    be averaged in)."""
     import jax.numpy as jnp
 
-    i_t = probs[..., 1].mean(axis=2)  # [T, B]
+    if mask is None:
+        i_t = probs[..., 1].mean(axis=2)  # [T, B]
+        final_r = probs[-1, :, :, 2].mean(axis=1)
+    else:
+        denom = jnp.maximum(mask.sum(axis=1), 1.0)  # [B]
+        i_t = (probs[..., 1] * mask[None]).sum(axis=2) / denom[None]
+        final_r = (probs[-1, :, :, 2] * mask).sum(axis=1) / denom
     return jnp.stack(
         [i_t.max(axis=0), jnp.argmax(i_t, axis=0).astype(jnp.float32),
-         probs[-1, :, :, 2].mean(axis=1)], axis=1)
+         final_r], axis=1)
 
 
 def _spmd_dispatch(model, params, adj, s0, i0, r0, beta, gamma, *,
@@ -240,6 +251,30 @@ def _spmd_dispatch(model, params, adj, s0, i0, r0, beta, gamma, *,
     return out[:b] if summary else out[:, :b]
 
 
+def _chunked(call, arrays, dispatch_batch, batch_axis):
+    """Run ``call(*chunk)`` over fixed-size chunks of the scenario arrays
+    and concatenate on ``batch_axis``. The tail chunk is padded by
+    repeating its last scenario (a guaranteed-valid model input) so every
+    dispatch reuses ONE compiled executable; padding rows are sliced off.
+    """
+    b = arrays[0].shape[0]
+    if dispatch_batch < 1:
+        raise ValueError("dispatch_batch must be a positive integer")
+    outs = []
+    for lo in range(0, b, dispatch_batch):
+        hi = min(lo + dispatch_batch, b)
+        chunk = [a[lo:hi] for a in arrays]
+        pad = dispatch_batch - (hi - lo)
+        if pad:
+            chunk = [np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+                     for a in chunk]
+        out = call(*chunk)
+        sl = [slice(None)] * out.ndim
+        sl[batch_axis] = slice(0, hi - lo)
+        outs.append(out[tuple(sl)])
+    return np.concatenate(outs, axis=batch_axis)
+
+
 def predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma, *,
                       spmd=False, dispatch_batch=None):
     """[T, B, n, 3] probabilities; one jitted dispatch (optionally SPMD).
@@ -254,17 +289,9 @@ def predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma, *,
 
     b = s0.shape[0]
     if dispatch_batch and b > dispatch_batch:
-        outs = []
-        for lo in range(0, b, dispatch_batch):
-            hi = min(lo + dispatch_batch, b)
-            chunk = [a[lo:hi] for a in (s0, i0, r0, beta, gamma)]
-            pad = dispatch_batch - (hi - lo)
-            if pad:
-                chunk = [np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
-                         for a in chunk]
-            outs.append(predict_scenarios(
-                model, params, adj, *chunk, spmd=spmd)[:, : hi - lo])
-        return np.concatenate(outs, axis=1)
+        return _chunked(
+            lambda *c: predict_scenarios(model, params, adj, *c, spmd=spmd),
+            (s0, i0, r0, beta, gamma), dispatch_batch, batch_axis=1)
     if spmd and jax.device_count() > 1:
         return _spmd_dispatch(model, params, adj, s0, i0, r0, beta, gamma,
                               summary=False)
@@ -327,17 +354,9 @@ def predict_summaries(model, params, adj, s0, i0, r0, beta, gamma, *,
     """
     b = s0.shape[0]
     if dispatch_batch and b > dispatch_batch:
-        outs = []
-        for lo in range(0, b, dispatch_batch):
-            hi = min(lo + dispatch_batch, b)
-            chunk = [a[lo:hi] for a in (s0, i0, r0, beta, gamma)]
-            pad = dispatch_batch - (hi - lo)
-            if pad:
-                chunk = [np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
-                         for a in chunk]
-            outs.append(_summary_array(model, params, adj, *chunk,
-                                       spmd=spmd)[: hi - lo])
-        out = np.concatenate(outs, 0)
+        out = _chunked(
+            lambda *c: _summary_array(model, params, adj, *c, spmd=spmd),
+            (s0, i0, r0, beta, gamma), dispatch_batch, batch_axis=0)
     else:
         out = _summary_array(model, params, adj, s0, i0, r0, beta, gamma,
                              spmd=spmd)
@@ -385,7 +404,12 @@ def main(argv=None) -> int:
                 f"{g.name} (n_nodes={g.n_nodes})")
     if args.dispatch_batch is not None and args.dispatch_batch < 1:
         raise SystemExit("--dispatch_batch must be a positive integer")
-    model, adj = build_model_and_adj(args, g, batch_size=len(seeds))
+    # the solver policy (adjoint/unroll, models/gnode.py::solver_policy)
+    # must be sized for what one DISPATCH holds, not the whole sweep —
+    # else a large chunked sweep needlessly degrades every chunk to the
+    # checkpointed scan
+    dispatch_b = min(len(seeds), args.dispatch_batch or len(seeds))
+    model, adj = build_model_and_adj(args, g, batch_size=dispatch_b)
     params = restore_params(args.ckpt)
     check_params_match(model, params)
     s0, i0, r0, beta, gamma = scenario_batch(g.n_nodes, seeds, beta, gamma)

@@ -301,7 +301,10 @@ def make_spmd_predict_fn(
     ``[T, b, n, 3] -> [b, k]`` applied INSIDE each shard before the output
     leaves the device — the readback is then ``[B, k]`` instead of the full
     trajectory. The reduction is per-scenario, so sharding it needs no
-    collective: each device summarizes exactly its own batch shard.
+    collective: each device summarizes exactly its own batch shard. When
+    ``node_mask_fn`` is also given, the reduction is called as
+    ``reduce_fn(pred, mask)`` with the shard's [b, n] node mask so padded
+    multigraph rows don't bias per-node means.
     """
 
     in_batch = {
@@ -324,7 +327,10 @@ def make_spmd_predict_fn(
         if mask is not None:
             pred = pred * mask[None, :, :, None]
         if reduce_fn is not None:
-            pred = reduce_fn(pred)  # [b, k]
+            # the mask rides along so per-node means stay fraction-exact
+            # on padded multigraph batches (zeroed padding rows must not
+            # be averaged in)
+            pred = reduce_fn(pred, mask) if mask is not None else reduce_fn(pred)  # [b, k]
         return pred
 
     extra_specs = ()

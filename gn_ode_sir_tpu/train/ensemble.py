@@ -130,6 +130,17 @@ def fit_ensemble(
     gather collectives that fetch each member's minibatch rows. Numerics
     are unchanged (placement only).
     """
+    if data_axis is not None:
+        # validate up front: silently running unsharded (or colliding with
+        # the member axis) would defeat the requested 2-D placement
+        if mesh is None:
+            raise ValueError(
+                "data_axis requires a mesh — without one the trial store "
+                "cannot shard; drop data_axis or pass mesh=")
+        if data_axis == mesh_axis or data_axis not in mesh.axis_names:
+            raise ValueError(
+                f"data_axis {data_axis!r} must name a mesh axis distinct "
+                f"from mesh_axis {mesh_axis!r} (mesh has {mesh.axis_names})")
     K = len(seeds)
     lead = jax.tree_util.tree_leaves(params_stack)[0].shape[0]
     if lead != K:
@@ -251,10 +262,6 @@ def fit_ensemble(
         params_stack = jax.device_put(params_stack, member_s)
         opt_state = jax.device_put(opt_state, member_s)
         if data_axis is not None:
-            if data_axis not in mesh.axis_names:
-                raise ValueError(
-                    f"data_axis '{data_axis}' not in mesh axes "
-                    f"{mesh.axis_names}")
             # 2-D (ensemble x data): trial rows shard over data_axis;
             # connectivity aux stays replicated (every member needs the
             # whole graph every step)

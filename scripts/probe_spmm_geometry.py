@@ -29,13 +29,16 @@ CHAIN = 800
 
 
 def _chain_run(apply_fn):
+    # operand (dense matrix / plan arrays) enters as an ARGUMENT, never a
+    # closure: closed-over device arrays become HLO constants and blow the
+    # remote compile payload (CLAUDE.md — the HTTP 413 lesson)
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(x):
+    def run(operand, x):
         def step(y, _):
-            z = apply_fn(y)
+            z = apply_fn(operand, y)
             return z / (jnp.abs(z).max() + 1e-6), ()
 
         y, _ = jax.lax.scan(step, x, None, length=CHAIN)
@@ -44,13 +47,13 @@ def _chain_run(apply_fn):
     return run
 
 
-def bench(apply_fn, x, repeats=5):
+def bench(apply_fn, operand, x, repeats=5):
     run = _chain_run(apply_fn)
-    float(np.asarray(run(x)).sum())  # compile + warm
+    float(np.asarray(run(operand, x)).sum())  # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(np.asarray(run(x)).sum())
+        float(np.asarray(run(operand, x)).sum())
         best = min(best, time.perf_counter() - t0)
     return best / CHAIN
 
@@ -65,25 +68,21 @@ def main() -> None:
     import jax.numpy as jnp
 
     from gn_ode_sir_tpu.graphs import load_graph
-    from gn_ode_sir_tpu.ops.pallas_spmm2 import SpmmPlan, spmm_pallas2
+    from gn_ode_sir_tpu.ops.pallas_spmm2 import Pallas2Adj
 
     results = []
     for gname in (os.environ.get("GN_GEOM_GRAPHS", "wiki-vote,enron")
                   .split(",")):
         g = load_graph(os.path.join(GRAPHS, gname))
-        order = np.argsort(np.asarray(g.dst), kind="stable")
-        src = np.asarray(g.src)[order]
-        dst = np.asarray(g.dst)[order]
         x = jnp.asarray(
-            np.random.default_rng(0).standard_normal((g.n_nodes, HIDDEN)),
+            np.random.default_rng(0).standard_normal((1, g.n_nodes, HIDDEN)),
             jnp.float32)
 
         # dense-MXU context row (the small-graph backend)
         if g.n_nodes <= 8192:
             a = np.zeros((g.n_nodes, g.n_nodes), np.float32)
-            a[dst, src] = 1.0
-            a_dev = jnp.asarray(a)
-            per = bench(lambda y: a_dev @ y, x)
+            a[np.asarray(g.dst), np.asarray(g.src)] = 1.0
+            per = bench(lambda a_, y: a_ @ y, jnp.asarray(a), x)
             row = {"graph": gname, "backend": "dense", "per_apply_ms":
                    round(per * 1e3, 4)}
             results.append(row)
@@ -93,14 +92,11 @@ def main() -> None:
                        (4096, 1024), (8192, 1024)):
             for prec in ("f32", "bf16"):
                 try:
-                    plan = SpmmPlan.build(src, dst, g.n_nodes,
-                                          k_edges=k, r_rows=r)
-                    per = bench(
-                        lambda y, p=plan, pr=prec: spmm_pallas2(
-                            p, y, precision=pr), x)
+                    adj = Pallas2Adj.from_graph(g, k_edges=k, r_rows=r,
+                                                precision=prec)
+                    per = bench(lambda a_, y: a_.matvec(y), adj, x)
                     row = {"graph": gname, "backend": "pallas2",
                            "k_edges": k, "r_rows": r, "precision": prec,
-                           "num_chunks": plan.num_chunks,
                            "per_apply_ms": round(per * 1e3, 4)}
                 except Exception as e:  # noqa: BLE001 — record, keep sweeping
                     row = {"graph": gname, "backend": "pallas2",
