@@ -768,3 +768,30 @@ def test_save_checkpoint_preserves_resume_state(tmp_path):
     rc = worker.main(_base_argv(
         tmp_path, "ode_nn", extra=["--save_checkpoint", "--resume"]))
     assert rc == 0
+
+
+def test_summary_reduce_masked_fractions_exact():
+    """_summary_reduce with a node mask must compute fractions over REAL
+    nodes only: a graph padded n_g -> n_max would otherwise read peak/final
+    fractions scaled by n_g/n_max (round-5 review finding)."""
+    from gn_ode_sir_tpu.cli.infer import _summary_reduce
+
+    rng = np.random.default_rng(0)
+    T, B, n = 5, 3, 8
+    probs = rng.random((T, B, n, 3)).astype(np.float32)
+    mask = np.ones((B, n), np.float32)
+    mask[1, 4:] = 0.0  # scenario 1 lives on a 4-node graph padded to 8
+    probs[:, 1, 4:, :] = 0.0  # padding rows are zeroed upstream
+
+    out = np.asarray(_summary_reduce(probs, mask))
+    # full-width scenarios match the unmasked reduction
+    un = np.asarray(_summary_reduce(probs))
+    np.testing.assert_allclose(out[0], un[0], atol=1e-6)
+    np.testing.assert_allclose(out[2], un[2], atol=1e-6)
+    # the padded scenario averages over its 4 real nodes, not all 8
+    i_t = probs[:, 1, :4, 1].mean(axis=1)
+    np.testing.assert_allclose(out[1, 0], i_t.max(), atol=1e-6)
+    np.testing.assert_allclose(out[1, 1], float(i_t.argmax()), atol=1e-6)
+    np.testing.assert_allclose(out[1, 2], probs[-1, 1, :4, 2].mean(),
+                               atol=1e-6)
+    assert un[1, 0] < out[1, 0]  # the bias the mask removes
