@@ -313,6 +313,14 @@ def simulate_sir_counts(
         )
         return _expand_ir_sums(ir, sims)
 
+    # equalize chunk sizes where possible: a ragged tail (e.g. 10000 in
+    # 3000-chunks -> 3000,3000,3000,1000) is a SECOND static shape and a
+    # second 15-300 s remote compile; k equal chunks of sims/k (2500 x 4
+    # here) reuse one executable. Non-divisible sims falls back to the
+    # ragged tail (still correct, one extra cached compile).
+    n_chunks = -(-sims // sims_chunk)
+    if sims % n_chunks == 0:
+        sims_chunk = sims // n_chunks
     total = None
     done = 0
     chunk_id = 0
@@ -508,6 +516,12 @@ def simulate_sir_per_sim(
     if sims_chunk is None or sims_chunk >= sims:
         states = one_chunk(key, sims)
     else:
+        # equalize chunk sizes exactly like the chunked counts path (one
+        # compiled shape when divisible) — the two paths must draw the
+        # SAME per-chunk sizes for their key schedules to aggregate
+        n_chunks = -(-sims // sims_chunk)
+        if sims % n_chunks == 0:
+            sims_chunk = sims // n_chunks
         parts = []
         done, chunk_id = 0, 0
         while done < sims:

@@ -224,6 +224,16 @@ def fit_ensemble(
             "the vmap path explicitly with GN_ENS_SCAN=0 on a config "
             "small enough to fit."
         )
+    if mesh is not None and member_scan and _scan_env is not None:
+        # an EXPLICIT GN_ENS_SCAN=1 request cannot be honored under a
+        # mesh (lax.map can't shard the member axis) — refuse rather than
+        # silently inverting to the vmap routing the user opted out of
+        raise ValueError(
+            "GN_ENS_SCAN=1 (lax.map members) cannot be combined with a "
+            "mesh: the member axis must stay a real array axis to "
+            "partition. Drop the mesh for bit-exact lax.map members, or "
+            "unset GN_ENS_SCAN to accept the vmap routing."
+        )
     member_scan = member_scan and mesh is None
 
     _tr = train_epoch_body(model, optimizer, adj_fn, node_mask_fn,
@@ -316,7 +326,7 @@ def fit_ensemble(
     if checkpoint_dir and resume:
         import os
 
-        from gn_ode_sir_tpu.train.checkpoint import restore_checkpoint
+        from gn_ode_sir_tpu.train.checkpoint import restore_with_layout_ladder
 
         if os.path.isdir(os.path.join(checkpoint_dir, "state")):
             ckpt_on_disk = True
@@ -325,31 +335,14 @@ def fit_ensemble(
                 "best_val": best_val, "best_epoch": best_epoch,
                 "test_loss": test_loss,
             }
-            # same persistence rules as fit(): optional keys newest-layout-
-            # first — "best_params" (the per-member serving snapshot) and,
-            # on OOD runs, "test_loss_all" (the per-trial vector that rides
-            # the checkpoint so a resumed run whose val never re-improves
-            # still has its CSV row)
-            extras = (
-                {"test_loss_all": np.zeros((K, len(test_idx)))}
-                if track_test_per_trial else {}
-            )
-            st = None
-            # same layout ladder as fit(): both optionals, best_params
-            # alone (OOD newly enabled against a non-OOD checkpoint),
-            # extras alone, neither
-            attempts = [{**extras, "best_params": params_stack}]
-            if extras:
-                attempts += [{"best_params": params_stack}, extras]
-            attempts.append({})
-            for extra in attempts:
-                try:
-                    st = restore_checkpoint(checkpoint_dir, {**target, **extra})
-                    break
-                except Exception:
-                    continue
-            if st is None:  # surface the real restore error
-                st = restore_checkpoint(checkpoint_dir, target)
+            # same persistence rules and shared layout ladder as fit():
+            # optional key-groups newest first — "test_time", the
+            # per-member "best_params" serving snapshot and, on OOD runs,
+            # the per-trial "test_loss_all" vector
+            groups = [{"test_time": 0.0}, {"best_params": params_stack}]
+            if track_test_per_trial:
+                groups.append({"test_loss_all": np.zeros((K, len(test_idx)))})
+            st = restore_with_layout_ladder(checkpoint_dir, target, groups)
             if track_test_per_trial and "test_loss_all" in st:
                 test_loss_all = np.asarray(st["test_loss_all"])
             params_stack = _put_member(st["params"])
@@ -359,6 +352,7 @@ def fit_ensemble(
             best_val = np.asarray(st["best_val"])
             best_epoch = np.asarray(st["best_epoch"], np.int64)
             test_loss = np.asarray(st["test_loss"])
+            test_time = float(st.get("test_time", 0.0))
             # fast-forward every member's shuffle stream so epoch k of the
             # resumed run draws the SAME permutations (exact-trace resume,
             # as in fit())
@@ -377,6 +371,7 @@ def fit_ensemble(
             "params": params_stack, "opt_state": opt_state, "epoch": epoch,
             "best_val": best_val, "best_epoch": best_epoch,
             "test_loss": test_loss, "best_params": best_params_stack,
+            "test_time": float(test_time),
         }
         if track_test_per_trial:
             state["test_loss_all"] = (

@@ -326,7 +326,7 @@ def fit(
     if checkpoint_dir and resume:
         import os
 
-        from gn_ode_sir_tpu.train.checkpoint import restore_checkpoint
+        from gn_ode_sir_tpu.train.checkpoint import restore_with_layout_ladder
 
         if os.path.isdir(os.path.join(checkpoint_dir, "state")):
             ckpt_on_disk = True
@@ -334,33 +334,18 @@ def fit(
                 "params": params, "opt_state": opt_state, "epoch": 0,
                 "best_val": 0.0, "best_epoch": 0, "test_loss": 0.0,
             }
-            # Optional keys appear newest-layout-first; older checkpoints
-            # fall back key-set by key-set: "best_params" (round 4 — the
-            # serving snapshot at the best-val epoch) and, on OOD runs,
-            # "test_loss_all" (the per-trial test vector for the first OOD
-            # CSV, ode_nn_ngraph_sim.py:483 — without it a resumed run
-            # whose val never re-improves would have nothing to write).
-            extras = (
-                {"test_loss_all": np.zeros(len(test_idx))}
-                if track_test_per_trial else {}
-            )
-            st = None
-            # ladder covers every layout cross-product: both optionals,
-            # best_params alone (e.g. a run resumed with --out_of_dist
-            # newly enabled against a non-OOD checkpoint), extras alone
-            # (pre-round-4 OOD), neither (oldest)
-            attempts = [{**extras, "best_params": params}]
-            if extras:
-                attempts += [{"best_params": params}, extras]
-            attempts.append({})
-            for extra in attempts:
-                try:
-                    st = restore_checkpoint(checkpoint_dir, {**target, **extra})
-                    break
-                except Exception:
-                    continue
-            if st is None:  # surface the real restore error
-                st = restore_checkpoint(checkpoint_dir, target)
+            # Optional key-groups, newest layout first: "test_time" (round
+            # 5 — so a resumed run whose val never re-improves still
+            # reports the real inference wall in the n_ode_time CSV
+            # column), "best_params" (round 4 — the serving snapshot at
+            # the best-val epoch) and, on OOD runs, "test_loss_all" (the
+            # per-trial test vector for the first OOD CSV,
+            # ode_nn_ngraph_sim.py:483). The ladder tries every subset so
+            # any checkpoint generation restores.
+            groups = [{"test_time": 0.0}, {"best_params": params}]
+            if track_test_per_trial:
+                groups.append({"test_loss_all": np.zeros(len(test_idx))})
+            st = restore_with_layout_ladder(checkpoint_dir, target, groups)
             if track_test_per_trial and "test_loss_all" in st:
                 test_loss_all = np.asarray(st["test_loss_all"])
             params, opt_state = st["params"], st["opt_state"]
@@ -369,6 +354,7 @@ def fit(
             best_val = float(st["best_val"])
             best_epoch = int(st["best_epoch"])
             test_loss = float(st["test_loss"])
+            test_time = float(st.get("test_time", 0.0))
             # fast-forward the batch-shuffle rng so epoch k of a resumed
             # run draws the SAME permutation as epoch k of an
             # uninterrupted one — crash+resume then reproduces the
@@ -393,6 +379,7 @@ def fit(
             "params": params, "opt_state": opt_state, "epoch": epoch,
             "best_val": best_val, "best_epoch": best_epoch,
             "test_loss": test_loss, "best_params": best_params,
+            "test_time": float(test_time),
         }
         if track_test_per_trial:
             state["test_loss_all"] = (

@@ -247,6 +247,12 @@ def _train_bucket(batch: GraphBatch, eval_graph: int):
     G = batch.num_graphs
     ev = eval_graph % G
     train_ids = [g for g in range(G) if g != ev]
+    if not train_ids:
+        raise ValueError(
+            "the unseen-eval-graph protocol needs at least 2 graphs in the "
+            "batch (got 1: the eval graph would also be the only train "
+            "graph) — use the single-graph path (adjacency_from_graph) "
+            "instead")
     remap = np.zeros(G, np.int32)
     remap[train_ids] = np.arange(len(train_ids), dtype=np.int32)
     n_train = int(max(int(batch.n_nodes[g]) for g in train_ids))
@@ -361,9 +367,12 @@ def multigraph_pallas2_fns(batch: GraphBatch, *, gcn_normalized: bool = False,
 
     if n_t < n_max:
         train_adj_fn.n_view = n_t
-        # fit() validates train_idx stays inside these graphs: a trial of
-        # the eval graph under the narrowed view would silently lose nodes
-        train_adj_fn.valid_train_graphs = frozenset(train_ids)
+    # fit() validates train_idx stays inside these graphs — declared
+    # UNCONDITIONALLY: the train plan stack excludes the eval graph even
+    # at full width (remap[eval] is 0, so an eval-graph trial would
+    # silently train against train-graph 0's connectivity), and under the
+    # narrowed view an eval trial would additionally lose nodes
+    train_adj_fn.valid_train_graphs = frozenset(train_ids)
 
     def eval_adj_fn(graph_idx, aux):
         stack = {k: aux[f"p2f_{k}"] for k in full_stack}

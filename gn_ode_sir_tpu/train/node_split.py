@@ -63,32 +63,43 @@ def fit_node_split(
     log_every: int = 10,
 ) -> NodeSplitResult:
     """Train on the node split of one trial's trajectories."""
-    labels = jnp.asarray(labels, jnp.float32)
-    s0 = jnp.asarray(s0)[None]
-    i0 = jnp.asarray(i0)[None]
-    r0 = jnp.asarray(r0)[None]
-    beta_a = jnp.asarray([beta], jnp.float32)
-    gamma_a = jnp.asarray([gamma], jnp.float32)
-    idx_train = jnp.asarray(np.asarray(idx_train), jnp.int32)
-    idx_val = jnp.asarray(np.asarray(idx_val), jnp.int32)
-    idx_test = jnp.asarray(np.asarray(idx_test), jnp.int32)
+    # everything array-valued rides as a jit ARGUMENT — closed-over device
+    # arrays become HLO constants (CLAUDE.md: a dense adjacency baked into
+    # program text blew a remote compile with HTTP 413; as an argument it
+    # compiles 5.4x faster). `trial` is one pytree so the call sites stay
+    # readable.
+    trial = {
+        "labels": jnp.asarray(labels, jnp.float32),
+        "s0": jnp.asarray(s0)[None],
+        "i0": jnp.asarray(i0)[None],
+        "r0": jnp.asarray(r0)[None],
+        "beta": jnp.asarray([beta], jnp.float32),
+        "gamma": jnp.asarray([gamma], jnp.float32),
+        "idx_train": jnp.asarray(np.asarray(idx_train), jnp.int32),
+        "idx_val": jnp.asarray(np.asarray(idx_val), jnp.int32),
+        "idx_test": jnp.asarray(np.asarray(idx_test), jnp.int32),
+    }
     opt_state = optimizer.init(params)
 
-    def node_loss(pred, idx):
+    def node_loss(pred, labels, idx):
         # mean |.| per channel over (t, selected nodes), averaged over S/I/R
         # (ode_nn.py:441-444)
         d = jnp.abs(pred[:, idx, :] - labels[:, idx, :])
         return d.mean(axis=(0, 1)).mean()
 
+    def _forward(p, adj, t):
+        return model.predict(p, adj, t["s0"], t["i0"], t["r0"],
+                             t["beta"], t["gamma"])[:, 0]
+
     @jax.jit
-    def step(params, opt_state):
+    def step(params, opt_state, adj, t):
         # train and val come from the same pre-update forward pass
         # (ode_nn.py:426-464); test is evaluated separately AFTER the
         # optimizer step, as the reference calls test() post-step (:586-594).
         def loss_fn(p):
-            pred = model.predict(p, adj, s0, i0, r0, beta_a, gamma_a)[:, 0]
-            train = node_loss(pred, idx_train)
-            val = node_loss(pred, idx_val)
+            pred = _forward(p, adj, t)
+            train = node_loss(pred, t["labels"], t["idx_train"])
+            val = node_loss(pred, t["labels"], t["idx_val"])
             return train, val
 
         (train, val), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -97,22 +108,21 @@ def fit_node_split(
         return params, opt_state, train, val
 
     @jax.jit
-    def test_eval(params):
-        pred = model.predict(params, adj, s0, i0, r0, beta_a, gamma_a)[:, 0]
-        return node_loss(pred, idx_test)
+    def test_eval(params, adj, t):
+        return node_loss(_forward(params, adj, t), t["labels"], t["idx_test"])
 
     best_val = float("inf")
     best_epoch, test_loss, test_time = -1, float("nan"), 0.0
     history = []
     for epoch in range(epochs):
         t0 = time.perf_counter()
-        params, opt_state, train, val = step(params, opt_state)
+        params, opt_state, train, val = step(params, opt_state, adj, trial)
         train, val = float(train), float(val)
         history.append((epoch, train, val))
         if val <= best_val:  # reference uses <= here (ode_nn.py:586)
             best_val = val
             best_epoch = epoch
-            test_loss = float(test_eval(params))  # post-update params
+            test_loss = float(test_eval(params, adj, trial))  # post-update
             test_time = time.perf_counter() - t0
         if verbose and (epoch % log_every == 0 or epoch == epochs - 1):
             print(f"Epoch: {epoch:03d}, Train Loss: {train:.5f}, Val Loss: {val:.5f}")

@@ -170,12 +170,41 @@ def test_resumed_short_tail_still_writes_final_checkpoint(random_graph, tmp_path
               epochs=6, batch_size=4, verbose=False,
               checkpoint_dir=ckpt, resume=True, checkpoint_auto_s=1e9)
     assert res.history[0][0] == 4
-    # round-4 layout: the serving snapshot rides every periodic checkpoint
+    # current layout: the serving snapshot (round 4) and test wall time
+    # (round 5) ride every periodic checkpoint
     target = {"params": params, "opt_state": res.opt_state, "epoch": 0,
               "best_val": 0.0, "best_epoch": 0, "test_loss": 0.0,
-              "best_params": params}
+              "best_params": params, "test_time": 0.0}
     st = restore_checkpoint(ckpt, target)
     assert int(st["epoch"]) == 5, "final checkpoint must be the completed run"
+
+
+def test_restore_layout_ladder_spans_generations(tmp_path):
+    """restore_with_layout_ladder restores every checkpoint generation:
+    full current layout, older layouts missing newer optional groups, and
+    the bare original layout — one shared ladder for fit()/fit_ensemble()."""
+    from gn_ode_sir_tpu.train.checkpoint import (
+        restore_with_layout_ladder,
+        save_checkpoint,
+    )
+
+    base = {"params": np.arange(4, dtype=np.float32), "epoch": 3}
+    groups = [{"test_time": 0.0},
+              {"best_params": np.zeros(4, np.float32)}]
+    cases = {
+        "full": {**base, "test_time": 1.5,
+                 "best_params": np.ones(4, np.float32)},
+        "r4": {**base, "best_params": np.ones(4, np.float32)},
+        "bare": dict(base),
+    }
+    for name, state in cases.items():
+        d = str(tmp_path / name)
+        save_checkpoint(d, state)
+        st = restore_with_layout_ladder(d, dict(base), groups)
+        assert int(st["epoch"]) == 3
+        assert ("best_params" in st) == ("best_params" in state)
+        if name == "full":
+            assert float(st["test_time"]) == 1.5
 
 
 def test_resume_with_ood_newly_enabled(random_graph, tmp_path):
