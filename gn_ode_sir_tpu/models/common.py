@@ -27,3 +27,13 @@ def layer_norm(scale, bias, x, eps: float = 1e-5):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def dropout(rng, x, rate: float, train: bool):
+    """Inverted dropout (torch ``F.dropout`` semantics): identity unless
+    training with a positive rate and an rng. Shared by GCN/GIN."""
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)

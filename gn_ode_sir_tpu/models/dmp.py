@@ -57,6 +57,8 @@ def cave_index(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("n_nodes", "max_time"))
 def _dmp_run(src, dst, cave, w, gamma, seeds, *, n_nodes: int, max_time: int):
+    if max_time < 1:
+        raise ValueError(f"max_time must be >= 1, got {max_time}")
     E = src.shape[0]
     gamma_src = gamma[src]
 
@@ -69,6 +71,8 @@ def _dmp_run(src, dst, cave, w, gamma, seeds, *, n_nodes: int, max_time: int):
     ps0 = 1.0 - seeds
     pi0 = seeds
     pr0 = jnp.zeros_like(seeds)
+    if max_time == 1:  # t=0 only (short-horizon guard: the scan below has
+        return jnp.stack([ps0, pi0, pr0], axis=-1)[None]  # length T-2)
     ps_i0 = ps0[src]
     phi0 = 1.0 - ps_i0
     theta0 = jnp.ones(E, dtype=w.dtype)
@@ -94,11 +98,13 @@ def _dmp_run(src, dst, cave, w, gamma, seeds, *, n_nodes: int, max_time: int):
         out = jnp.stack([ps_t, pi_t, pr_t], axis=-1)
         return (theta, phi, new_ps_ij, pr_t, pi_t), out
 
-    carry0 = (theta, phi, ps_ij, pr1, pi1)
-    _, rest = jax.lax.scan(body, carry0, None, length=max_time - 2)
-
     m0 = jnp.stack([ps0, pi0, pr0], axis=-1)
     m1 = jnp.stack([ps1, pi1, pr1], axis=-1)
+    if max_time == 2:
+        return jnp.stack([m0, m1], axis=0)
+
+    carry0 = (theta, phi, ps_ij, pr1, pi1)
+    _, rest = jax.lax.scan(body, carry0, None, length=max_time - 2)
     return jnp.concatenate([m0[None], m1[None], rest], axis=0)  # [T, N, 3]
 
 

@@ -20,15 +20,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from gn_ode_sir_tpu.models.common import dropout as _dropout
 from gn_ode_sir_tpu.models.common import linear, linear_init
-
-
-def _dropout(rng, x, rate: float, train: bool):
-    if not train or rate <= 0.0 or rng is None:
-        return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,6 +19,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from gn_ode_sir_tpu.models.common import dropout as _dropout
 from gn_ode_sir_tpu.models.common import linear, linear_init
 
 
@@ -44,14 +45,6 @@ def _mlp(p, x):
     x = _batch_norm(p["bn1"], jax.nn.relu(linear(p["lin1"], x)))
     x = _batch_norm(p["bn2"], jax.nn.relu(linear(p["lin2"], x)))
     return x
-
-
-def _dropout(rng, x, rate: float, train: bool):
-    if not train or rate <= 0.0 or rng is None:
-        return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -164,6 +164,11 @@ class GNODE:
                 method=self.method,
                 adjoint=self.adjoint,
                 unroll=self.solver_unroll,
+                # backsolve: differentiate the field params and the rates,
+                # NOT the adjacency — a dense [n, n] cotangent in the
+                # reverse-scan carry would cost O(n^2) per step, and sparse
+                # backends carry int32 index leaves that have no gradient
+                diff_mask=(True, True, True, False),
             )  # tuple of [T, B, n, h]
 
         y = jnp.stack(traj, axis=-2).astype(jnp.float32)  # [T, B, n, 3, h]

@@ -154,10 +154,20 @@ def _adaptive_impl(func, y0, ts, args, rtol, atol, total_steps, max_stride):
     t_end = ts[-1]
     f0 = func(ts[0], y0, args)
 
+    # done-threshold must sit ABOVE f32 ulp at the horizon (ulp(20.0) is
+    # ~1.9e-6): after the last full step t typically misses t_end by ~1 ulp,
+    # and a below-ulp threshold lets the controller burn the remaining
+    # budget on micro-steps where t + dt_try == t makes zero progress. A
+    # sub-1e-6-of-dt0 remainder is far below the dense-output interpolation
+    # error, so treating it as done is lossless.
+    done_tol = jnp.maximum(
+        4.0 * jnp.finfo(jnp.float32).eps * jnp.abs(t_end), 1e-6 * dt0
+    )
+
     def attempt(carry, _):
         t, y, f, dt_next, rejects = carry
         remaining = t_end - t
-        done = remaining <= 1e-9
+        done = remaining <= done_tol
         dt_try = jnp.minimum(jnp.minimum(dt_next, remaining), max_stride * dt0)
         dt_try = jnp.where(done, dt0, dt_try)  # keep finite for the no-op step
         y_new, err, f_new = _dp_step_fsal(func, t, y, dt_try, args, f)

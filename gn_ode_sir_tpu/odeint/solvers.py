@@ -82,9 +82,11 @@ def step_fn(method: str):
         raise ValueError(f"unknown method {method!r}; choose from {sorted(METHODS)}")
 
 
-@partial(jax.jit, static_argnames=("func", "method", "adjoint", "unroll"))
+@partial(jax.jit,
+         static_argnames=("func", "method", "adjoint", "unroll", "diff_mask"))
 def odeint_grid(func, y0, ts, args=None, *, method: str = "euler",
-                adjoint: str = "checkpoint", unroll: int = 1):
+                adjoint: str = "checkpoint", unroll: int = 1,
+                diff_mask=None):
     """Integrate ``dy/dt = func(t, y, args)`` over the uniform grid ``ts``.
 
     Args:
@@ -96,6 +98,10 @@ def odeint_grid(func, y0, ts, args=None, *, method: str = "euler",
       args: pytree of parameters, differentiated through.
       method: 'euler' | 'midpoint' | 'rk4' | 'dopri5'.
       adjoint: 'checkpoint' (remat each step) | 'direct' | 'backsolve'.
+      diff_mask: backsolve only — hashable prefix pytree of bools over
+        ``args`` marking which subtrees the adjoint differentiates (see
+        :func:`odeint_grid_backsolve`); the autodiff adjoints ignore it
+        (XLA DCEs unused cotangents there).
 
     Returns the dense trajectory: a pytree with a new leading time axis [T]
     whose first slice equals ``y0`` — matching the ``torchdiffeq.odeint``
@@ -105,7 +111,8 @@ def odeint_grid(func, y0, ts, args=None, *, method: str = "euler",
     if adjoint == "backsolve":
         from gn_ode_sir_tpu.odeint.adjoint import odeint_grid_backsolve
 
-        return odeint_grid_backsolve(func, y0, ts, args, method=method)
+        return odeint_grid_backsolve(func, y0, ts, args, method=method,
+                                     diff_mask=diff_mask)
 
     step = step_fn(method)
     if adjoint == "checkpoint":

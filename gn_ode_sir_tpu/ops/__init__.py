@@ -13,7 +13,7 @@ Replaces the reference's external native dependencies (torch-scatter CUDA
 - ``gcn_norm_edges`` — symmetric GCN normalization D^-1/2 (A+I) D^-1/2.
 """
 
-from gn_ode_sir_tpu.ops.segment import segment_prod, segment_softmax_denom, segment_sum
+from gn_ode_sir_tpu.ops.segment import segment_prod, segment_sum
 from gn_ode_sir_tpu.ops.spmm import (
     DENSE_NODE_THRESHOLD,
     gcn_norm_edges,
@@ -31,7 +31,6 @@ from gn_ode_sir_tpu.ops.ell import (
 __all__ = [
     "segment_sum",
     "segment_prod",
-    "segment_softmax_denom",
     "spmm",
     "spmm_coo",
     "spmm_coo_batched",

@@ -141,6 +141,13 @@ def _kernel(base_ref, dloc_ref, msgs_ref, out_ref, *, r_rows):
 def _spmm2_call(row_base, dst_local, msgs, *, n_nodes, k_edges, r_rows, interpret):
     C = dst_local.shape[0]
     h = msgs.shape[1]
+    if C == 0:
+        # an empty plan (edgeless graph) would launch a grid-(0,) call whose
+        # output buffer is never zero-initialized (the zero-init runs inside
+        # kernel instance c==0, which never executes) — return the correct
+        # all-zeros aggregation directly. Pallas2SwitchAdj clamps its branch
+        # counts to 1 for the same hazard.
+        return jnp.zeros((n_nodes, h), jnp.float32)
     n_pad = ((n_nodes + r_rows - 1) // r_rows) * r_rows + r_rows
     # Scoped-VMEM budget from the actual buffer sizes: the [n_pad, h] f32
     # output lives whole in VMEM (sequential race-free accumulation), and

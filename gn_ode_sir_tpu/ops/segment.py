@@ -33,12 +33,3 @@ def segment_prod(data, segment_ids, num_segments: int, indices_are_sorted: bool 
         num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
     )
-
-
-def segment_softmax_denom(logits, segment_ids, num_segments: int):
-    """Stable per-segment softmax normalizer (utility for attention-style ops)."""
-    maxes = jax.ops.segment_max(logits, segment_ids, num_segments=num_segments)
-    shifted = logits - maxes[segment_ids]
-    exp = jnp.exp(shifted)
-    denom = segment_sum(exp, segment_ids, num_segments, indices_are_sorted=False)
-    return exp, denom

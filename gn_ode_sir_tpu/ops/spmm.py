@@ -94,6 +94,13 @@ def gcn_norm_edges(graph, add_self_loops: bool = True):
 
     src, dst = graph.src, graph.dst
     if add_self_loops:
+        # PyG add_remaining_self_loops semantics: drop any self-loop the
+        # graph already carries, then append exactly one per node — else a
+        # loaded loop edge is double-counted on the segment-sum path while
+        # the dense path's a[dst, src] = w write keeps a single copy, and
+        # the two backends train on different normalized matrices
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
         loops = np.arange(graph.n_nodes, dtype=np.int32)
         src = np.concatenate([src, loops])
         dst = np.concatenate([dst, loops])

@@ -186,6 +186,64 @@ def test_gnode_backsolve_adjoint(random_graph):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=0.1, atol=2e-3)
 
 
+def test_gnode_backsolve_adjoint_sparse_backends(random_graph):
+    """Backsolve must work with the sparse adjacency backends whose pytrees
+    carry int32 index leaves (COO/ELL): vjp used to return float0 cotangents
+    for them and tree_map(jnp.negative, ...) crashed. Gradients must match
+    the dense-backend backsolve (same math, different SpMM)."""
+    g = random_graph
+    s0, i0, r0, beta, gamma = _toy_batch(g, B=2)
+    m_bs = GNODE(hidden=8, max_time=6, adjoint="backsolve")
+    params = m_bs.init(jax.random.PRNGKey(0))
+
+    def loss(p, adj):
+        pred = m_bs.predict(p, adj, s0, i0, r0, beta, gamma)
+        return jnp.abs(pred - 0.5).mean()
+
+    grads = {}
+    for kind in ("dense", "coo", "ell"):
+        adj = adjacency_from_graph(g, kind=kind)
+        grads[kind] = jax.grad(loss)(params, adj)
+    for kind in ("coo", "ell"):
+        for x, y in zip(jax.tree_util.tree_leaves(grads["dense"]),
+                        jax.tree_util.tree_leaves(grads[kind])):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-6)
+
+
+def test_backsolve_diff_mask_excludes_leaves():
+    """diff_mask=False subtrees get ZERO cotangents and stay out of the
+    reverse carry (GNODE marks the adjacency this way: a dense [n, n]
+    cotangent per reverse step would negate backsolve's O(1) memory)."""
+    from gn_ode_sir_tpu.odeint import odeint_grid_backsolve
+
+    a_mat = jnp.eye(4) * 0.5
+    w = jnp.ones((4,))
+
+    def func(t, y, args):
+        w_, a_ = args
+        return (a_ @ y) * w_
+
+    y0 = jnp.arange(4.0) + 1.0
+    ts = jnp.linspace(0.0, 1.0, 6)
+
+    def loss(args):
+        ys = odeint_grid_backsolve(func, y0, ts, args, method="rk4",
+                                   diff_mask=(True, False))
+        return (ys[-1] ** 2).sum()
+
+    gw, ga = jax.grad(loss)((w, a_mat))
+    assert np.abs(np.asarray(gw)).sum() > 0, "masked-in leaf must get grads"
+    np.testing.assert_array_equal(np.asarray(ga), 0.0)
+    # unmasked run differentiates the matrix too
+    gw2, ga2 = jax.grad(
+        lambda args: (odeint_grid_backsolve(func, y0, ts, args,
+                                            method="rk4")[-1] ** 2).sum()
+    )((w, a_mat))
+    assert np.abs(np.asarray(ga2)).sum() > 0
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw), rtol=1e-6)
+
+
 def test_dmp_matches_mc_on_tree():
     """DMP is exact on trees — marginals must match MC to sampling error.
 
@@ -209,6 +267,29 @@ def test_dmp_matches_mc_on_tree():
     assert np.abs(m - mc).max() < 0.03
     # marginals are a probability simplex
     np.testing.assert_allclose(m.sum(-1), 1.0, atol=1e-4)
+
+
+def test_dmp_short_horizons():
+    """max_time 1 and 2 must return [T, N, 3] without tracing a
+    negative-length scan (max_time=1 used to raise an MLIRError), and must
+    prefix-match a longer run (the recursion is causal)."""
+    from gn_ode_sir_tpu.graphs import graph_from_edges
+    from gn_ode_sir_tpu.models import DMPSIR
+
+    g = graph_from_edges(5, [(0, 1), (1, 2), (2, 3), (3, 4)], name="path")
+    dmp = DMPSIR.from_graph(g)
+    full = np.asarray(dmp.run([0], 0.4, 0.3, max_time=6))
+    for T in (1, 2, 3):
+        out = np.asarray(dmp.run([0], 0.4, 0.3, max_time=T))
+        assert out.shape == (T, 5, 3)
+        np.testing.assert_allclose(out, full[:T], rtol=1e-6, atol=1e-7)
+    many = np.asarray(dmp.run_many([[0], [2]], [0.4, 0.2], [0.3, 0.1],
+                                   max_time=2))
+    assert many.shape == (2, 2, 5, 3)
+    import pytest
+
+    with pytest.raises(ValueError):
+        dmp.run([0], 0.4, 0.3, max_time=0)
 
 
 def test_dmp_run_many_matches_per_trial():

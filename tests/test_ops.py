@@ -81,6 +81,35 @@ def test_gcn_norm_edges(random_graph):
     np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-4, atol=1e-4)
 
 
+def test_gcn_norm_edges_preexisting_self_loop():
+    """A graph that already carries a self-loop must not get it doubled:
+    PyG add_remaining_self_loops semantics — exactly one (i, i) edge per
+    node afterwards, so the dense last-write-wins construction and the COO
+    segment-sum path build the SAME normalized matrix."""
+    from gn_ode_sir_tpu.graphs import graph_from_edges
+
+    g = graph_from_edges(4, [(0, 1), (1, 2), (2, 3), (1, 1)], name="loopy")
+    assert ((g.src == 1) & (g.dst == 1)).sum() == 1  # loaded loop, one copy
+    src, dst, w = gcn_norm_edges(g)
+    loops = src == dst
+    assert int(loops.sum()) == g.n_nodes, "exactly one self-loop per node"
+    # dense oracle built like the worker's GCN path (a[dst, src] = w)
+    a_dense = np.zeros((4, 4), np.float32)
+    a_dense[dst, src] = w
+    x = np.random.default_rng(5).standard_normal((4, 8)).astype(np.float32)
+    got = spmm_coo(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(x),
+                   g.n_nodes, jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(got), a_dense @ x,
+                               rtol=1e-5, atol=1e-6)
+    # degree of the loop node counts the loop ONCE: A+I row sum = 2 + 1
+    a = np.zeros((4, 4), np.float32)
+    a[g.dst[g.src != g.dst], g.src[g.src != g.dst]] = 1.0
+    a += np.eye(4, dtype=np.float32)
+    dinv = 1.0 / np.sqrt(a.sum(1))
+    np.testing.assert_allclose(a_dense, dinv[:, None] * a * dinv[None, :],
+                               rtol=1e-6)
+
+
 def test_ell_adjacency_exact(random_graph):
     """Bucketed-ELL matvec == dense matvec exactly; work ratio bounded."""
     from gn_ode_sir_tpu.ops import EllAdj
@@ -173,6 +202,23 @@ def test_pallas_spmm2_interpret(random_graph):
     out_w = spmm_pallas2(plan_w, x, interpret=True)
     ref_w = spmm_coo(jnp.asarray(g.src), jnp.asarray(g.dst), x, g.n_nodes, edge_w=jnp.asarray(w))
     np.testing.assert_allclose(np.asarray(out_w), np.asarray(ref_w), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_spmm2_empty_plan_returns_zeros():
+    """An edgeless graph builds a zero-chunk plan; the kernel's zero-init
+    runs inside instance c==0, which never executes on a grid-(0,) launch —
+    the call must short-circuit to explicit zeros, not return uninitialized
+    memory."""
+    from gn_ode_sir_tpu.ops.pallas_spmm2 import SpmmPlan, spmm_pallas2
+
+    plan = SpmmPlan.build(np.zeros(0, np.int32), np.zeros(0, np.int32), 12,
+                          k_edges=16, r_rows=8)
+    assert plan.row_base.shape[0] == 0
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((12, 16)),
+                    jnp.float32)
+    out = spmm_pallas2(plan, x, interpret=True)
+    assert out.shape == (12, 16)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
 
 
 def test_pallas2_adj_grad_matches_coo(random_graph):
