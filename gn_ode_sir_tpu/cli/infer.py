@@ -240,8 +240,13 @@ def _spmd_dispatch(model, params, adj, s0, i0, r0, beta, gamma, *,
         _SPMD_CACHE[key] = fn
     # restored params sit committed on device 0; hand the mesh program
     # host arrays so pjit replicates them instead of erroring on the
-    # single-device placement
-    params = jax.tree_util.tree_map(np.asarray, params)
+    # single-device placement. Skip when the caller already hoisted the
+    # transfer (the chunked paths convert ONCE for the whole sweep — a
+    # per-chunk device→host round trip through the tunnel costs 5-200+ ms
+    # each).
+    if not all(isinstance(l, np.ndarray)
+               for l in jax.tree_util.tree_leaves(params)):
+        params = jax.tree_util.tree_map(np.asarray, params)
     batch = {
         "s0": jnp.asarray(s0), "i0": jnp.asarray(i0), "r0": jnp.asarray(r0),
         "beta": jnp.asarray(beta), "gamma": jnp.asarray(gamma),
@@ -289,6 +294,9 @@ def predict_scenarios(model, params, adj, s0, i0, r0, beta, gamma, *,
 
     b = s0.shape[0]
     if dispatch_batch and b > dispatch_batch:
+        if spmd and jax.device_count() > 1:
+            # hoist the params device→host pull out of the per-chunk path
+            params = jax.tree_util.tree_map(np.asarray, params)
         return _chunked(
             lambda *c: predict_scenarios(model, params, adj, *c, spmd=spmd),
             (s0, i0, r0, beta, gamma), dispatch_batch, batch_axis=1)
@@ -354,6 +362,12 @@ def predict_summaries(model, params, adj, s0, i0, r0, beta, gamma, *,
     """
     b = s0.shape[0]
     if dispatch_batch and b > dispatch_batch:
+        if spmd:
+            import jax
+
+            if jax.device_count() > 1:
+                # one params host pull for the whole sweep, not per chunk
+                params = jax.tree_util.tree_map(np.asarray, params)
         out = _chunked(
             lambda *c: _summary_array(model, params, adj, *c, spmd=spmd),
             (s0, i0, r0, beta, gamma), dispatch_batch, batch_axis=0)

@@ -242,7 +242,16 @@ def run_matrix(cfg: MatrixConfig, only=(), use_subprocess: bool = False,
                 else:
                     worker.main(attempt_argv)
                 break
-            except Exception:
+            # SystemExit included: an in-process worker signals validation
+            # failures and fault-injection drills by raising it (e.g. the
+            # pinned-trial shortfall, --die_at_epoch), and SystemExit
+            # subclasses BaseException — a bare `except Exception` would let
+            # one failed experiment kill the whole matrix instead of
+            # printing the marker line and continuing. KeyboardInterrupt
+            # still propagates (the operator really does want out).
+            except (Exception, SystemExit) as e:
+                if isinstance(e, SystemExit) and e.code in (None, 0):
+                    break  # a clean exit is a success, not a failure
                 traceback.print_exc()
                 if attempt == retries:
                     print("[MONITORER] Oops! Something broke!")

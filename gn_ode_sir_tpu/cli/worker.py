@@ -288,29 +288,25 @@ def _print_test_loss(args, res, suffix=""):
               f"{res.best_epoch:03d}")
 
 
-def build_model_and_adj(args, g, *, batch_size=None):
-    """Model + single-graph adjacency for a trainable family, exactly as
-    the worker trains it. Shared with the serving entry point
-    (``cli/infer.py``) so a restored checkpoint is always scored through
-    the same architecture/backend it was trained with; ``batch_size``
-    overrides ``args.batch_size`` for the solver memory policy (serving
-    batches differ from training batches)."""
-    from gn_ode_sir_tpu.models import GCN, GIN, GNODE, TimeUnrolledSIR
-    from gn_ode_sir_tpu.ops import gcn_norm_edges
-    from gn_ode_sir_tpu.ops.adjacency import CooAdj, adjacency_from_graph
+def build_model(args, n_nodes, *, batch_size=None):
+    """The ONE model-construction switch for every trainable family.
 
-    import jax.numpy as jnp
+    Used by the single-graph path (via :func:`build_model_and_adj`), the
+    multigraph path (``n_nodes`` = the padded batch width), and — through
+    ``build_model_and_adj`` — the serving entry point, so training and
+    checkpoint restore can never drift to different architectures."""
+    from gn_ode_sir_tpu.models import GCN, GIN, GNODE, TimeUnrolledSIR
 
     if args.model == "ode_nn":
         from gn_ode_sir_tpu.models.gnode import solver_policy
 
         adjoint, unroll = solver_policy(
-            g.n_nodes, args.hidden,
+            n_nodes, args.hidden,
             args.batch_size if batch_size is None else batch_size,
             args.maxTime, args.deltaT,
             adjoint=args.adjoint, unroll=args.solver_unroll,
         )
-        model = GNODE(
+        return GNODE(
             hidden=args.hidden,
             max_time=args.maxTime,
             delta_t=args.deltaT,
@@ -319,15 +315,38 @@ def build_model_and_adj(args, g, *, batch_size=None):
             compute_dtype=args.gnode_dtype,
             solver_unroll=unroll,
         )
+    if args.model == "GCN":
+        return TimeUnrolledSIR(
+            GCN(input_dim=5, hidden_dim=args.hidden,
+                penultimate_dim=max(args.hidden // 2, 1),
+                window=args.maxTime)
+        )
+    return TimeUnrolledSIR(
+        GIN(input_dim=5, hidden_dim=args.hidden,
+            penultimate_dim=max(args.hidden // 2, 1),
+            window=args.maxTime)
+    )
+
+
+def build_model_and_adj(args, g, *, batch_size=None):
+    """Model + single-graph adjacency for a trainable family, exactly as
+    the worker trains it. Shared with the serving entry point
+    (``cli/infer.py``) so a restored checkpoint is always scored through
+    the same architecture/backend it was trained with; ``batch_size``
+    overrides ``args.batch_size`` for the solver memory policy (serving
+    batches differ from training batches)."""
+    from gn_ode_sir_tpu.ops import gcn_norm_edges
+    from gn_ode_sir_tpu.ops.adjacency import CooAdj, adjacency_from_graph
+
+    import jax.numpy as jnp
+
+    model = build_model(args, g.n_nodes, batch_size=batch_size)
+    if args.model == "ode_nn":
         adj = _gnode_adjacency(args, g)
     elif args.model == "GCN":
         from gn_ode_sir_tpu.ops.adjacency import DenseAdj
         from gn_ode_sir_tpu.ops.spmm import DENSE_NODE_THRESHOLD
 
-        model = TimeUnrolledSIR(
-            GCN(input_dim=5, hidden_dim=args.hidden,
-                penultimate_dim=max(args.hidden // 2, 1), window=args.maxTime)
-        )
         src, dst, w = gcn_norm_edges(g)
         if g.n_nodes <= DENSE_NODE_THRESHOLD:
             # weighted dense-MXU path: the normalized D^-1/2(A+I)D^-1/2 is a
@@ -339,10 +358,6 @@ def build_model_and_adj(args, g, *, batch_size=None):
         else:
             adj = CooAdj(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), g.n_nodes)
     else:  # GIN
-        model = TimeUnrolledSIR(
-            GIN(input_dim=5, hidden_dim=args.hidden,
-                penultimate_dim=max(args.hidden // 2, 1), window=args.maxTime)
-        )
         adj = adjacency_from_graph(g)  # auto: dense MXU under the threshold
     return model, adj
 
@@ -500,7 +515,6 @@ def run_multigraph(args):
     import optax
 
     from gn_ode_sir_tpu.graphs import load_graphs
-    from gn_ode_sir_tpu.models import GCN, GIN, GNODE, TimeUnrolledSIR
     from gn_ode_sir_tpu.train import (
         assemble_multigraph_trials,
         fit,
@@ -514,6 +528,17 @@ def run_multigraph(args):
             f"--model {args.model} is single-graph only; multi-graph datasets "
             "support ode_nn/GCN/GIN (the reference's dmp/rk baselines are "
             "single-graph, dmp.py:349)"
+        )
+    if args.out_of_dist:
+        # refuse rather than silently train the ordinary protocol: the OOD
+        # gamma-binned split is a single-graph protocol
+        # (ode_nn_ngraph_sim.py:399-414); the multigraph path has no OOD
+        # split/CSVs, and accepting the flag here would let a user believe
+        # they ran it
+        raise SystemExit(
+            "--out_of_dist is a single-graph protocol "
+            "(ode_nn_ngraph_sim.py:399-414); it is not defined for "
+            "'+'-joined multi-graph datasets"
         )
 
     graphs = load_graphs(args.dataset)
@@ -598,24 +623,9 @@ def run_multigraph(args):
     tr, va, te = multigraph_split(counts)
 
     gcn_norm = args.model == "GCN"
-    if args.model == "ode_nn":
-        from gn_ode_sir_tpu.models.gnode import solver_policy
-
-        adjoint, unroll = solver_policy(
-            batch.n_max, args.hidden, args.batch_size, args.maxTime,
-            args.deltaT, adjoint=args.adjoint, unroll=args.solver_unroll,
-        )
-        model = GNODE(hidden=args.hidden, max_time=args.maxTime, delta_t=args.deltaT,
-                      method=args.method, adjoint=adjoint,
-                      compute_dtype=args.gnode_dtype, solver_unroll=unroll)
-    elif args.model == "GCN":
-        model = TimeUnrolledSIR(GCN(input_dim=5, hidden_dim=args.hidden,
-                                    penultimate_dim=max(args.hidden // 2, 1),
-                                    window=args.maxTime))
-    else:
-        model = TimeUnrolledSIR(GIN(input_dim=5, hidden_dim=args.hidden,
-                                    penultimate_dim=max(args.hidden // 2, 1),
-                                    window=args.maxTime))
+    # shared switch with the single-graph worker AND serving restore
+    # (n_nodes = the padded batch width drives the solver memory policy)
+    model = build_model(args, batch.n_max)
 
     # zero-config backend dispatch (dense / coo / stacked-pallas2 +
     # grouped batches above the dense limit) — same path library users get

@@ -93,6 +93,18 @@ def graph_from_edges(n_nodes: int, undirected_edges, name: str = "graph") -> Gra
     pairs = np.asarray(
         [(int(u), int(v)) for u, v in undirected_edges], dtype=np.int32
     ).reshape(-1, 2)
+    # Bounds-check HERE, once, for both build paths: the native core's -1
+    # error return maps to None, which used to be indistinguishable from
+    # "library unavailable" — the unvalidated numpy fallback then mangled
+    # out-of-range ids into structurally wrong edges (a -1 id floor-divides
+    # to node pair (-1, 5), and dense_adjacency's fancy indexing silently
+    # wraps -1 to the last node).
+    if pairs.size and (pairs.min() < 0 or pairs.max() >= n_nodes):
+        bad = pairs[(pairs < 0).any(1) | (pairs >= n_nodes).any(1)][0]
+        raise ValueError(
+            f"edge ({bad[0]}, {bad[1]}) has a node id outside "
+            f"[0, {n_nodes}) — node ids must be 0..n_nodes-1"
+        )
 
     from gn_ode_sir_tpu import native
 

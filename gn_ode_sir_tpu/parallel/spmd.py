@@ -132,8 +132,24 @@ def _batch_specs(axis: str) -> dict:
     }
 
 
+def _default_batch_keys(batch):
+    """Fill the OPTIONAL trial-batch keys with their neutral defaults so
+    callers aren't forced to carry them: missing ``weight`` means
+    equal-weighted trials (what ``trial_weight=None`` meant) and missing
+    ``graph_idx`` means the single-graph protocol. Without this, shard_map
+    raises an opaque pytree-structure mismatch against the full spec dict."""
+    if "weight" not in batch:
+        batch = dict(batch, weight=jnp.ones_like(batch["beta"]))
+    if "graph_idx" not in batch:
+        batch = dict(
+            batch, graph_idx=jnp.zeros(batch["beta"].shape[0], jnp.int32)
+        )
+    return batch
+
+
 def _build_spmd_step(model, optimizer, mesh, data_axis: str,
-                     connect: Callable, extra_specs: tuple) -> Callable:
+                     connect: Callable, extra_specs: tuple,
+                     dropout_rng: bool = False) -> Callable:
     """Shared core of every SPMD train-step builder.
 
     ``connect(batch, *extra) -> (adj, node_mask)`` is the ONLY part the
@@ -147,18 +163,29 @@ def _build_spmd_step(model, optimizer, mesh, data_axis: str,
     - gradients reduce over ``data_axis`` ONLY: when connectivity is
       edge-sharded, :func:`spmm_edge_sharded`'s custom VJP already
       psum-replicates gradients across the edge axis.
+
+    ``dropout_rng=True`` appends a trailing PRNGKey argument to the step
+    and runs the forward with ``train=True`` like :func:`fit` does —
+    required for stochastic-regularization models (GCN/GIN dropout); each
+    data shard folds in its axis index so devices draw independent masks.
+    Deterministic models (GNODE) keep the default, where the forward is
+    ``train=False`` and no key is threaded.
     """
 
     def local_step(params, opt_state, batch, *extra):
+        if dropout_rng:
+            *extra, rng = extra
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         adj, node_mask = connect(batch, *extra)
 
         def loss_fn(p):
+            kw = {"rng": rng, "train": True} if dropout_rng else {}
             pred = model.predict(
                 p, adj, batch["s0"], batch["i0"], batch["r0"],
-                batch["beta"], batch["gamma"],
+                batch["beta"], batch["gamma"], **kw,
             )
             num, den = l1_sir_loss_sums(
-                pred, batch["labels"], trial_weight=batch.get("weight"),
+                pred, batch["labels"], trial_weight=batch["weight"],
                 node_mask=node_mask,
             )
             return num, den
@@ -173,25 +200,39 @@ def _build_spmd_step(model, optimizer, mesh, data_axis: str,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    sharded = jax.shard_map(
+    rng_specs = (P(),) if dropout_rng else ()
+    sharded = jax.jit(jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), _batch_specs(data_axis), *extra_specs),
+        in_specs=(P(), P(), _batch_specs(data_axis), *extra_specs,
+                  *rng_specs),
         out_specs=(P(), P(), P()),
         check_vma=False,
-    )
-    return jax.jit(sharded)
+    ))
+
+    def step(params, opt_state, batch, *extra):
+        return sharded(params, opt_state, _default_batch_keys(batch), *extra)
+
+    return step
 
 
 def make_spmd_train_step(
     model, optimizer, adj_fn, mesh, axis: str = "data",
-    aux_example=None, node_mask_fn=None,
+    aux_example=None, node_mask_fn=None, dropout_rng: bool = False,
 ) -> Callable:
     """Data-parallel train step: batch sharded on ``axis``, params replicated.
 
     Returns ``step(params, opt_state, batch) -> (params, opt_state, loss)``
     where ``batch`` is a dict with leading batch axes divisible by the mesh
-    axis size (see :func:`_batch_specs`).
+    axis size (see :func:`_batch_specs`; missing ``weight``/``graph_idx``
+    keys default to equal weights / graph 0).
+
+    ``dropout_rng=True``: the step takes a trailing PRNGKey and runs the
+    forward with ``train=True`` — pass this for GCN/GIN so SPMD training
+    applies the same dropout the single-device :func:`fit` engine does
+    (``train/loop.py`` trains with ``train=True`` + rng); without it the
+    forward is deterministic and dropout models silently skip their
+    regularization.
 
     Multi-graph batches: pass ``aux_example`` (the per-graph connectivity
     dict from :func:`gn_ode_sir_tpu.train.multigraph_adj_fns` — replicated
@@ -209,19 +250,21 @@ def make_spmd_train_step(
 
         aux_specs = jax.tree_util.tree_map(lambda _: P(), aux_example)
         return _build_spmd_step(model, optimizer, mesh, axis, connect,
-                                (aux_specs,))
+                                (aux_specs,), dropout_rng=dropout_rng)
 
     def connect(batch):
         gi = batch["graph_idx"]
         mask = None if node_mask_fn is None else node_mask_fn(gi)
         return adj_fn(gi), mask
 
-    return _build_spmd_step(model, optimizer, mesh, axis, connect, ())
+    return _build_spmd_step(model, optimizer, mesh, axis, connect, (),
+                            dropout_rng=dropout_rng)
 
 
 def make_spmd_train_step_2d(
     model, optimizer, mesh, n_nodes: int,
     data_axis: str = "data", edge_axis: str = "edge",
+    dropout_rng: bool = False,
 ) -> Callable:
     """dp x edge-parallel training step over a 2-D mesh.
 
@@ -239,12 +282,14 @@ def make_spmd_train_step_2d(
     return _build_spmd_step(
         model, optimizer, mesh, data_axis, connect,
         (P(edge_axis), P(edge_axis), P(edge_axis)),
+        dropout_rng=dropout_rng,
     )
 
 
 def make_spmd_multigraph_train_step_2d(
     model, optimizer, mesh, n_nodes: int, aux_example,
     node_mask_fn=None, data_axis: str = "data", edge_axis: str = "edge",
+    dropout_rng: bool = False,
 ) -> Callable:
     """dp x edge-parallel training step with PER-SAMPLE multigraph
     connectivity — the composition the enron-scale ngraphs workload needs:
@@ -276,7 +321,7 @@ def make_spmd_multigraph_train_step_2d(
         for k in aux_example
     }
     return _build_spmd_step(model, optimizer, mesh, data_axis, connect,
-                            (aux_specs,))
+                            (aux_specs,), dropout_rng=dropout_rng)
 
 
 def make_spmd_predict_fn(
@@ -338,11 +383,19 @@ def make_spmd_predict_fn(
         extra_specs = (jax.tree_util.tree_map(lambda _: P(), aux_example),)
     out_spec = (P(axis, None) if reduce_fn is not None
                 else P(None, axis, None, None))
-    sharded = jax.shard_map(
+    sharded = jax.jit(jax.shard_map(
         local_predict,
         mesh=mesh,
         in_specs=(P(), in_batch, *extra_specs),
         out_specs=out_spec,
         check_vma=False,
-    )
-    return jax.jit(sharded)
+    ))
+
+    def predict(params, batch, *extra):
+        if "graph_idx" not in batch:
+            batch = dict(
+                batch, graph_idx=jnp.zeros(batch["beta"].shape[0], jnp.int32)
+            )
+        return sharded(params, batch, *extra)
+
+    return predict

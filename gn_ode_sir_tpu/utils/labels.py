@@ -197,16 +197,30 @@ def load_or_extract_labels_many(
         if save_dir is not None:
             _record_coin_mode(save_dir, coins)
         if sims_chunk is not None:
-            # huge-graph regime: per-trial sims chunking, no trial batching
+            # huge-graph regime: per-trial sims chunking, no trial batching.
+            # keys=None must still give every miss a DISTINCT stream — the
+            # same fold_in(key0, 1000+pos) schedule simulate_sir_many
+            # defaults to (mc_sir.py). Leaving key=None here would hand
+            # every trial simulate_sir's PRNGKey(0) default: trials sharing
+            # (seeds, beta, gamma-ish) would draw bit-identical coins and
+            # all misses would be stream-correlated.
+            import jax as _jax
+
             from gn_ode_sir_tpu.sim import simulate_sir
 
+            if keys is None:
+                _k0 = _jax.random.PRNGKey(0)
+                miss_keys = [_jax.random.fold_in(_k0, 1000 + pos)
+                             for pos in range(len(missing))]
+            else:
+                miss_keys = [keys[j] for j in missing]
             fresh = [
                 simulate_sir(
                     graph, *trials[j][:3], sims=sim, max_time=max_time,
-                    key=None if keys is None else keys[j],
-                    sims_chunk=sims_chunk, coins=coins, matmul=matmul,
+                    key=mk, sims_chunk=sims_chunk, coins=coins,
+                    matmul=matmul,
                 )
-                for j in missing
+                for j, mk in zip(missing, miss_keys)
             ]
         else:
             from gn_ode_sir_tpu.sim import simulate_sir_many

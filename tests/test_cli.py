@@ -205,6 +205,39 @@ def test_monitorer_matrix(tmp_path):
     assert rc == 0
 
 
+def test_monitorer_inprocess_survives_worker_systemexit(tmp_path, capsys,
+                                                        monkeypatch):
+    """An in-process worker signals validation errors / fault drills by
+    raising SystemExit, which subclasses BaseException: the matrix loop
+    must print the reference marker line and continue to the next job
+    instead of dying (bare `except Exception` missed it). A clean
+    SystemExit(0) counts as success."""
+    calls = {"n": 0}
+
+    def fake_main(argv):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise SystemExit("pinned trials < requested")  # failure signal
+        if calls["n"] == 2:
+            raise SystemExit(0)  # clean exit — NOT a failure
+        return 0
+
+    from gn_ode_sir_tpu.cli import worker as worker_mod
+
+    monkeypatch.setattr(worker_mod, "main", fake_main)
+    cfg = monitorer.MatrixConfig(
+        epochs=1, trials_per_number=1, hidden_dim_array=(8, 16, 24),
+        datasets_array=(KARATE,), sim=100, max_time=8,
+        experiments_root=str(tmp_path), seed=6,
+    )
+    rc = monitorer.run_matrix(cfg)
+    assert calls["n"] == 3, "matrix must continue past the SystemExit"
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "Oops! Something broke!" in out
+    assert "1 failures" in out
+
+
 def test_monitorer_retry_transient_failure(tmp_path, capsys, monkeypatch):
     """--retry rides out a transient failure: the job is re-attempted after
     the backoff and a success on the second try counts as no failure. Retry
@@ -387,6 +420,18 @@ def test_worker_ensemble_rejects_unsupported_modes(tmp_path):
     with pytest.raises(SystemExit, match="ensemble"):
         worker.main(_base_argv(tmp_path, "ode_nn",
                                extra=["--ensemble", "2", "--node_split"]))
+
+
+def test_worker_multigraph_rejects_out_of_dist(tmp_path):
+    """--out_of_dist on a '+'-joined dataset must refuse loudly — the OOD
+    gamma-binned split is a single-graph protocol, and silently training
+    the ordinary multigraph protocol would misreport what ran."""
+    argv = ["--dataset", "/root/reference/real_graphs/karate+dolphins",
+            "--out_of_dist",
+            "--epochs", "1", "--hidden", "4", "--sim", "50",
+            "--maxTime", "8", "--path_to_save", str(tmp_path)]
+    with pytest.raises(SystemExit, match="single-graph protocol"):
+        worker.main(argv)
 
 
 def test_worker_ensemble_out_of_dist(tmp_path):

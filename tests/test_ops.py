@@ -81,6 +81,23 @@ def test_gcn_norm_edges(random_graph):
     np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-4, atol=1e-4)
 
 
+def test_graph_from_edges_rejects_out_of_range_ids():
+    """Out-of-range node ids must raise up front: the native core's -1
+    error return used to be read as 'library unavailable', falling through
+    to the unvalidated numpy path where a -1 id floor-divides into a
+    structurally wrong edge and dense_adjacency wraps it to the last node."""
+    import pytest
+
+    from gn_ode_sir_tpu.graphs import graph_from_edges
+
+    with pytest.raises(ValueError, match="node id"):
+        graph_from_edges(10, [(0, 1), (-1, 5)])
+    with pytest.raises(ValueError, match="node id"):
+        graph_from_edges(10, [(0, 10)])
+    g = graph_from_edges(10, [(0, 9)])  # boundary ids stay valid
+    assert g.n_edges == 2
+
+
 def test_gcn_norm_edges_preexisting_self_loop():
     """A graph that already carries a self-loop must not get it doubled:
     PyG add_remaining_self_loops semantics — exactly one (i, i) edge per

@@ -95,6 +95,84 @@ def test_spmd_train_step_equals_single_device(random_graph, mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_spmd_train_step_defaults_optional_batch_keys(random_graph, mesh):
+    """Missing weight/graph_idx keys get their neutral defaults instead of
+    an opaque shard_map pytree-structure error; the step result equals the
+    fully-populated batch."""
+    g = random_graph
+    model = GNODE(hidden=8, max_time=6)
+    params = model.init(jax.random.PRNGKey(0))
+    adj = adjacency_from_graph(g)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = make_spmd_train_step(model, opt, lambda gi: adj, mesh)
+
+    B = 8
+    rng = np.random.default_rng(1)
+    i0 = np.zeros((B, g.n_nodes), np.float32)
+    i0[np.arange(B), rng.choice(g.n_nodes, B)] = 1
+    base = {
+        "s0": jnp.asarray(1 - i0), "i0": jnp.asarray(i0),
+        "r0": jnp.zeros((B, g.n_nodes)),
+        "beta": jnp.full((B,), 0.3), "gamma": jnp.full((B,), 0.2),
+        "labels": jnp.asarray(rng.random((B, 6, g.n_nodes, 3)), jnp.float32),
+    }
+    full = dict(base, weight=jnp.ones((B,)),
+                graph_idx=jnp.zeros((B,), jnp.int32))
+    p_min, _, loss_min = step(params, opt_state, base)
+    p_full, _, loss_full = step(params, opt_state, full)
+    np.testing.assert_allclose(float(loss_min), float(loss_full), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_min),
+                    jax.tree_util.tree_leaves(p_full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_spmd_train_step_dropout_rng(random_graph, mesh):
+    """dropout_rng=True threads a key + train=True through the sharded
+    forward — GCN's dropout must actually fire (different keys => different
+    losses) and match fit()'s convention; without it the forward is
+    deterministic (the round-5 review found SPMD silently skipped
+    dropout for GCN/GIN)."""
+    from gn_ode_sir_tpu.models import GCN, TimeUnrolledSIR
+    from gn_ode_sir_tpu.ops import gcn_norm_edges
+    from gn_ode_sir_tpu.ops.adjacency import CooAdj
+
+    g = random_graph
+    model = TimeUnrolledSIR(
+        GCN(input_dim=5, hidden_dim=8, penultimate_dim=4, window=6,
+            dropout=0.5)
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    src, dst, w = gcn_norm_edges(g)
+    adj = CooAdj(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w),
+                 g.n_nodes)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = make_spmd_train_step(model, opt, lambda gi: adj, mesh,
+                                dropout_rng=True)
+
+    B = 8
+    rng = np.random.default_rng(2)
+    i0 = np.zeros((B, g.n_nodes), np.float32)
+    i0[np.arange(B), rng.choice(g.n_nodes, B)] = 1
+    batch = {
+        "s0": jnp.asarray(1 - i0), "i0": jnp.asarray(i0),
+        "r0": jnp.zeros((B, g.n_nodes)),
+        "beta": jnp.full((B,), 0.3), "gamma": jnp.full((B,), 0.2),
+        "labels": jnp.asarray(rng.random((B, 6, g.n_nodes, 3)), jnp.float32),
+    }
+    _, _, l_a = step(params, opt_state, batch, jax.random.PRNGKey(10))
+    _, _, l_a2 = step(params, opt_state, batch, jax.random.PRNGKey(10))
+    _, _, l_b = step(params, opt_state, batch, jax.random.PRNGKey(11))
+    assert float(l_a) == float(l_a2), "same key must reproduce"
+    assert float(l_a) != float(l_b), "dropout must draw from the key"
+    # deterministic builder stays key-free and differs from the train=True
+    # forward under 0.5 dropout
+    det = make_spmd_train_step(model, opt, lambda gi: adj, mesh)
+    _, _, l_det = det(params, opt_state, batch)
+    assert float(l_det) != float(l_a)
+
+
 def test_2d_spmd_train_step_equals_single_device(random_graph):
     """dp x edge mesh: one full GNODE training step must equal the
     single-device step — this exercises the edge-sharded SpMM's custom VJP

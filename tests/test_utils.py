@@ -61,6 +61,29 @@ def test_load_or_extract_roundtrip(tmp_path, karate):
     assert np.abs(i3 - i1).max() > 0.01
 
 
+def test_extract_many_chunked_default_keys_are_distinct(karate):
+    """The sims_chunk (huge-graph) path with keys=None must give every
+    cache-miss trial its OWN stream, like the batched path's
+    fold_in(key0, 1000+pos) default — it used to hand every trial
+    simulate_sir's PRNGKey(0), so two trials with identical (seeds, beta,
+    gamma) drew bit-identical 'independent' labels."""
+    from gn_ode_sir_tpu.utils.labels import load_or_extract_labels_many
+
+    trials = [([0, 5], 0.3, 0.2), ([0, 5], 0.3, 0.2)]
+    out = load_or_extract_labels_many(
+        karate, trials, sim=400, max_time=8, save_dir=None, sims_chunk=100,
+    )
+    assert np.abs(np.asarray(out[0][1]) - np.asarray(out[1][1])).max() > 0, (
+        "identical trials must draw independent MC streams"
+    )
+    # and the defaulting is deterministic across calls
+    out2 = load_or_extract_labels_many(
+        karate, trials, sim=400, max_time=8, save_dir=None, sims_chunk=100,
+    )
+    np.testing.assert_array_equal(np.asarray(out[0][1]),
+                                  np.asarray(out2[0][1]))
+
+
 def test_legacy_seeds_only_labels_still_load(tmp_path, karate):
     """Reference-layout (seeds-only-named) caches remain readable."""
     import pickle
