@@ -544,7 +544,9 @@ def main():
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             baseline = json.load(f)
+    baseline_dirty = False
     if "value" not in baseline:
+        baseline_dirty = True
         _phase("measuring reference sim proxy (torch CPU, cold cache only)")
         baseline["metric"] = "mc_sir_sims_per_sec_openflights"
         baseline["value"] = _reference_proxy_sims_per_sec(graph)
@@ -553,6 +555,7 @@ def main():
             "20 sims extrapolated"
         )
     if "train_epoch_s" not in baseline:
+        baseline_dirty = True
         _phase("measuring reference train proxy (torch CPU, cold cache only)")
         karate = load_graph(os.path.join(GRAPHS, "karate"))
         proxies = {}
@@ -571,6 +574,10 @@ def main():
             "direct autograd in place of the costlier adjoint solve), "
             "epoch = 120 steps at batch_size=1"
         )
+    if baseline_dirty:
+        # persist whenever EITHER proxy was (re)measured — writing only on
+        # the train-proxy branch let a cache with train_epoch_s but no
+        # 'value' re-pay the multi-minute sim proxy on every run
         with open(BASELINE_CACHE, "w") as f:
             json.dump(baseline, f, indent=2)
 

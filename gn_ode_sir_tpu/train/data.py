@@ -139,9 +139,8 @@ def out_of_dist_split(path: str):
     val = np.asarray(sorted(d["val"]), np.int64)
     in_train = set(int(i) for i in train)
     in_val = set(int(i) for i in val)
-    n_total = d.get("counts")
-    return {"train": train, "val": val, "dict": d, "in_train": in_train, "in_val": in_val,
-            "test_key": np.asarray(sorted(d["test"]), np.int64), "n_total": n_total}
+    return {"train": train, "val": val, "dict": d,
+            "in_train": in_train, "in_val": in_val}
 
 
 def epoch_batches_grouped(idx, graph_ids, batch_size: int,
@@ -159,6 +158,12 @@ def epoch_batches_grouped(idx, graph_ids, batch_size: int,
     DataLoader shuffle (``ode_nn_ngraphs.py:179-196``): documented D15.
     """
     idx = np.asarray(idx)
+    if idx.size == 0:
+        # mirror epoch_batches(0, ...): an empty split yields zero batches,
+        # not a np.concatenate([]) ValueError (fit() calls this
+        # unconditionally for val/test splits that may be empty)
+        return (np.zeros((0, batch_size), np.int32),
+                np.zeros((0, batch_size), np.float32))
     gids = np.asarray(graph_ids)[idx]
     rows, ws = [], []
     for g in np.unique(gids):

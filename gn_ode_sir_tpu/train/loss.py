@@ -53,12 +53,9 @@ def l1_sir_loss(pred_tbnc, labels_btnc, trial_weight=None, node_mask=None):
       trial_weight: optional [B] (0 for padding trials in a padded batch).
       node_mask: optional [B, n] (0 for padding nodes in multi-graph batches).
     """
-    pred = jnp.transpose(pred_tbnc, (1, 0, 2, 3))[:, 1:]
-    target = labels_btnc[:, 1:]
-    weight = None
-    if trial_weight is not None:
-        weight = trial_weight[:, None, None, None]
-    if node_mask is not None:
-        nm = node_mask[:, None, :, None]
-        weight = nm if weight is None else weight * nm
-    return masked_l1(pred, target, weight)
+    num, den = l1_sir_loss_sums(pred_tbnc, labels_btnc,
+                                trial_weight=trial_weight,
+                                node_mask=node_mask)
+    if trial_weight is None and node_mask is None:
+        return num / den  # exact mean — no guard needed, size > 0
+    return num / (den + 1e-12)  # masked_l1's zero-weight guard

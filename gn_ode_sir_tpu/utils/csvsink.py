@@ -48,8 +48,12 @@ def save_trial_to_csv(
     n_ode_time: float,
     rk_time: float,
     path_to_save: str | None = None,
+    print_table: bool | None = None,
 ) -> None:
-    """Append one trial row (column schema from ``ode_nn.py:390-391``)."""
+    """Append one trial row (column schema from ``ode_nn.py:390-391``).
+
+    ``print_table=False`` silences the reference's whole-table read-back
+    for this call (module default: ``PRINT_TABLE``)."""
     save_dir = path_to_save or cfg.path_to_save
     row = [
         cfg.trial, cfg.model, cfg.lr, cfg.epochs, cfg.sim,
@@ -60,5 +64,6 @@ def save_trial_to_csv(
         n_ode_time, rk_time,
     ]
     csv_trials(
-        os.path.join(save_dir, f"Metrics-trials-{dataset_name}"), TRIAL_COLUMNS, row
+        os.path.join(save_dir, f"Metrics-trials-{dataset_name}"),
+        TRIAL_COLUMNS, row, print_table=print_table,
     )
