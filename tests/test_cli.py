@@ -749,6 +749,19 @@ def test_infer_summary_dispatch_batch_chunking_exact(tmp_path):
                                            dispatch_batch=4)
     np.testing.assert_allclose(full, full_chunked, atol=1e-6)
 
+    # spmd + dispatch_batch composes: the params host pull is hoisted out
+    # of the per-chunk path (each chunk's _spmd_dispatch sees numpy leaves
+    # and must NOT re-convert), and rows still match the single-device sweep
+    both = infer.predict_summaries(model, params, adj, *sb,
+                                   spmd=True, dispatch_batch=4)
+    for a, b in zip(whole, both):
+        assert a["peak_time"] == b["peak_time"]
+        np.testing.assert_allclose(a["peak_infected_frac"],
+                                   b["peak_infected_frac"], atol=1e-5)
+    full_spmd_chunked = infer.predict_scenarios(model, params, adj, *sb,
+                                                spmd=True, dispatch_batch=4)
+    np.testing.assert_allclose(full, full_spmd_chunked, atol=1e-5)
+
     # a non-positive cap exits loudly through the CLI
     import pytest
 
