@@ -286,8 +286,6 @@ def test_dmp_short_horizons():
     many = np.asarray(dmp.run_many([[0], [2]], [0.4, 0.2], [0.3, 0.1],
                                    max_time=2))
     assert many.shape == (2, 2, 5, 3)
-    import pytest
-
     with pytest.raises(ValueError):
         dmp.run([0], 0.4, 0.3, max_time=0)
 

@@ -86,8 +86,6 @@ def test_graph_from_edges_rejects_out_of_range_ids():
     error return used to be read as 'library unavailable', falling through
     to the unvalidated numpy path where a -1 id floor-divides into a
     structurally wrong edge and dense_adjacency wraps it to the last node."""
-    import pytest
-
     from gn_ode_sir_tpu.graphs import graph_from_edges
 
     with pytest.raises(ValueError, match="node id"):

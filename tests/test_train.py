@@ -203,6 +203,10 @@ def test_restore_layout_ladder_spans_generations(tmp_path):
         st = restore_with_layout_ladder(d, dict(base), groups)
         assert int(st["epoch"]) == 3
         assert ("best_params" in st) == ("best_params" in state)
+        # and the ladder must NOT fabricate keys absent from the checkpoint
+        # (a lenient restore mode answering the full-target rung for an
+        # older generation would inject test_time=0.0 silently)
+        assert ("test_time" in st) == ("test_time" in state)
         if name == "full":
             assert float(st["test_time"]) == 1.5
 
