@@ -400,16 +400,24 @@ def _normalized_edges(batch: GraphBatch):
     for g in range(G):
         e = int(batch.n_edges[g])
         n = int(batch.n_nodes[g])
-        s = np.concatenate([batch.src[g, :e], np.arange(n, dtype=np.int32)])
-        d = np.concatenate([batch.dst[g, :e], np.arange(n, dtype=np.int32)])
+        # add_remaining_self_loops semantics, same as ops.gcn_norm_edges:
+        # drop loops the graph already carries before appending one per
+        # node — fb-food ships 11 loop edges, and double-counting them
+        # inflated those nodes' degrees and rescaled every incident weight
+        sg, dg = batch.src[g, :e], batch.dst[g, :e]
+        keep = sg != dg
+        sg, dg = sg[keep], dg[keep]
+        s = np.concatenate([sg, np.arange(n, dtype=np.int32)])
+        d = np.concatenate([dg, np.arange(n, dtype=np.int32)])
         deg = np.bincount(d, minlength=n_max).astype(np.float32)
         dinv = np.zeros(n_max, np.float32)
         dinv[:n] = 1.0 / np.sqrt(np.maximum(deg[:n], 1.0))
         ww = dinv[s] * dinv[d]
         order = np.lexsort((s, d))
-        src[g, : e + n] = s[order]
-        dst[g, : e + n] = d[order]
-        w[g, : e + n] = ww[order]
+        m = s.shape[0]  # e - dropped_loops + n
+        src[g, :m] = s[order]
+        dst[g, :m] = d[order]
+        w[g, :m] = ww[order]
     return src, dst, w
 
 

@@ -143,6 +143,36 @@ def test_padded_edges_stay_dst_sorted():
         assert np.all(np.diff(dst[g]) >= 0), f"normalized graph {g} dst not sorted"
 
 
+def test_normalized_edges_matches_single_graph_oracle_with_loops():
+    """_normalized_edges == ops.gcn_norm_edges per graph, including a graph
+    that already carries a self-loop (fb-food ships 11): both must use
+    add_remaining_self_loops semantics. The pre-fix version double-counted
+    loaded loops, inflating those nodes' degrees (201/620 fb-food rows
+    changed, 3.6% relative Frobenius)."""
+    from gn_ode_sir_tpu.graphs import load_graph, pad_graphs
+    from gn_ode_sir_tpu.graphs.graph import graph_from_edges
+    from gn_ode_sir_tpu.ops import gcn_norm_edges
+    from gn_ode_sir_tpu.train.multigraph import _normalized_edges
+
+    loopy = graph_from_edges(6, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5),
+                                 (1, 1), (4, 4)], name="loopy")
+    plain = load_graph("none", n_random=10, seed=3)
+    batch = pad_graphs([loopy, plain], node_multiple=8, edge_multiple=16)
+    src, dst, w = _normalized_edges(batch)
+    for gi, g in enumerate((loopy, plain)):
+        s_ref, d_ref, w_ref = gcn_norm_edges(g)
+        n = g.n_nodes
+        dense_ref = np.zeros((n, n), np.float32)
+        np.add.at(dense_ref, (d_ref, s_ref), w_ref)
+        dense_mg = np.zeros((batch.n_max, batch.n_max), np.float32)
+        np.add.at(dense_mg, (dst[gi], src[gi]), w[gi])
+        np.testing.assert_allclose(dense_mg[:n, :n], dense_ref,
+                                   rtol=1e-6, atol=1e-7)
+        # padding rows contribute nothing
+        assert dense_mg[n:].sum() == 0 and dense_mg[:, n:].sum() == 0
+        assert np.all(np.diff(dst[gi]) >= 0), "dst-sorted hint preserved"
+
+
 def test_epoch_batches_grouped_homogeneous():
     """Every grouped batch holds trials of one graph; coverage is exact
     (each trial once at weight 1, padding weight 0 from the same graph);
