@@ -45,6 +45,31 @@ def test_pad_graphs_shapes(two_graphs):
         assert batch.edge_w[g_i].sum() == g.n_edges
 
 
+def test_adjacency_from_batch_gather(two_graphs):
+    """The simple public per-trial gather helpers over a padded GraphBatch
+    (``adjacency_from_batch`` → per-sample CooAdj; ``batch_index_graphs`` →
+    raw rows) must reproduce each trial's own graph adjacency, with the
+    padding rows contributing nothing (w=0 edges)."""
+    from gn_ode_sir_tpu.graphs import batch_index_graphs
+    from gn_ode_sir_tpu.ops.adjacency import adjacency_from_batch
+
+    batch = pad_graphs(two_graphs, node_multiple=8, edge_multiple=16)
+    gi = np.array([0, 1, 0])
+    adj = adjacency_from_batch(batch, gi)
+    rng = np.random.default_rng(0)
+    x = rng.random((3, batch.n_max, 4)).astype(np.float32)
+    out = np.asarray(adj.matvec(jnp.asarray(x)))
+    for k, g in enumerate(two_graphs[i] for i in gi):
+        a = np.zeros((batch.n_max, batch.n_max), np.float32)
+        a[: g.n_nodes, : g.n_nodes] = np.asarray(g.dense_adjacency)
+        np.testing.assert_allclose(out[k], a @ x[k], rtol=1e-5, atol=1e-5)
+    src, dst, edge_w, mask = batch_index_graphs(batch, gi)
+    assert src.shape == (3, batch.e_max) and mask.shape == (3, batch.n_max)
+    np.testing.assert_array_equal(src[1], batch.src[1])
+    np.testing.assert_array_equal(mask[2], batch.node_mask[0])
+    np.testing.assert_array_equal(edge_w[0], batch.edge_w[0])
+
+
 def test_adj_fn_matches_per_graph_spmm(two_graphs):
     batch = pad_graphs(two_graphs, node_multiple=8, edge_multiple=16)
     adj_fn, node_mask_fn, aux = multigraph_adj_fns(batch, kind="coo")

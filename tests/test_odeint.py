@@ -196,6 +196,30 @@ def test_sir_classical_stiff_graph_substepping():
     np.testing.assert_allclose(i_c, i_a, atol=2e-3)
 
 
+def test_sir_classical_batch_matches_per_trial(karate):
+    """The batched mean-field integrator (one [B, n] program amortizing the
+    dense-adjacency read — the RK-harness path, ``cli/worker.py::run_rk``)
+    must reproduce the per-trial ``sir_classical`` trajectories. Substeps
+    are pinned equal: the auto refinement keys off max(beta) over the
+    BATCH, so low-beta trials legitimately integrate on a finer grid in
+    batch mode than solo."""
+    from gn_ode_sir_tpu.sim import sir_classical, sir_classical_batch
+
+    g = karate
+    trials = [([0, 5], 0.3, 0.2), ([3], 0.45, 0.1), ([1, 2], 0.12, 0.48)]
+    i_b, s_b, r_b = sir_classical_batch(
+        g, [t[0] for t in trials], [t[1] for t in trials],
+        [t[2] for t in trials], max_time=10, substeps=4,
+    )
+    assert i_b.shape == (3, 10, g.n_nodes)
+    for k, (seeds, beta, gamma) in enumerate(trials):
+        i1, s1, r1 = sir_classical(
+            g, seeds, beta, gamma, max_time=10, substeps=4)
+        np.testing.assert_allclose(i_b[k], i1, atol=1e-5)
+        np.testing.assert_allclose(s_b[k], s1, atol=1e-5)
+        np.testing.assert_allclose(r_b[k], r1, atol=1e-5)
+
+
 def test_classical_bf16_branch(karate, monkeypatch):
     """Above _BF16_NODE_THRESHOLD the dense adjacency drops to bfloat16
     (exact {0,1} entries); no shipped graph triggers it, so pin the branch
