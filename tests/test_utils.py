@@ -236,3 +236,38 @@ def test_persistent_compilation_cache(tmp_path, monkeypatch):
         from jax._src import compilation_cache as _cc
 
         _cc.reset_cache()
+
+
+def test_timer_and_timed_block_on_device_work():
+    """`Timer` / `timed` must synchronize on the device result before
+    stopping the clock (the reference times async launches with bare
+    time.time(), `ode_nn_ngraph_sim.py:224-228` — on TPU that measures
+    dispatch, not compute)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gn_ode_sir_tpu.utils import Timer
+    from gn_ode_sir_tpu.utils.timing import timed
+
+    x = jnp.ones((128, 128))
+    with Timer() as t:
+        y = t.block_on(x @ x)
+    assert t.seconds > 0.0
+    np.testing.assert_allclose(np.asarray(y)[0, 0], 128.0)
+
+    out, secs = timed(lambda a: a @ a, x)
+    assert secs > 0.0
+    np.testing.assert_allclose(np.asarray(out)[0, 0], 128.0)
+    # block_on=None path: plain wall clock, no sync
+    with Timer() as t2:
+        pass
+    assert t2.seconds >= 0.0
+
+
+def test_device_memory_stats_shape():
+    """Returns a plain dict (may be empty on backends without memory_stats
+    — the CPU test backend is allowed either way)."""
+    from gn_ode_sir_tpu.utils import device_memory_stats
+
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
