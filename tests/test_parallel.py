@@ -577,3 +577,24 @@ def test_spmd_predict_multigraph_masks_padding(mesh):
     for b in range(B):
         n_real = int(batch_g.n_nodes[gi[b]])
         assert np.all(out[:, b, n_real:, :] == 0.0)
+
+
+def test_sharding_helpers_place_and_preserve():
+    """`data_sharding` splits the leading axis over the mesh, `replicated_
+    sharding` copies — placement only, values intact (the helpers behind
+    manual jax.device_put placement of trial stores and params)."""
+    from gn_ode_sir_tpu.parallel.mesh import data_sharding, replicated_sharding
+
+    mesh = make_mesh()
+    ndev = len(jax.devices())
+    x = np.arange(ndev * 3 * 2, dtype=np.float32).reshape(ndev * 3, 2)
+    xd = jax.device_put(x, data_sharding(mesh, rank=x.ndim))
+    assert xd.sharding.spec == P("data", None)
+    # leading axis is actually split: one shard holds 1/ndev of the rows
+    assert xd.addressable_shards[0].data.shape == (3, 2)
+    np.testing.assert_array_equal(np.asarray(xd), x)
+
+    p = jax.device_put(np.float32(7.0), replicated_sharding(mesh))
+    assert p.sharding.spec == P()
+    assert len(p.addressable_shards) == ndev
+    assert float(p) == 7.0
